@@ -1,0 +1,202 @@
+"""Single dataclass config tree for the whole framework.
+
+The reference scatters configuration across three idioms (hyperparameter
+auto-capture decorators, module-level literal dicts, and one argparse CLI;
+see /root/reference/app2.py:12-32, /root/reference/gruunet2.py:29-51,
+/root/reference/rtmds.py:25-53) and its STFT parameters are inconsistent
+across entry points (1536/768 in app2.py:28-32, 1024/512 in server.py:166-170).
+Here a checkpoint-bound config tree is the single source of truth: the DSP
+parameters travel *with* the model config so a loaded checkpoint fully
+determines the processing graph.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+
+def _tup(x) -> Tuple[int, ...]:
+    if x is None:
+        return None
+    if isinstance(x, (int, float)):
+        return (int(x),)
+    return tuple(int(v) for v in x)
+
+
+@dataclass(frozen=True)
+class DSPConfig:
+    """Spectral front-end / back-end parameters.
+
+    Defaults mirror the reference's WebRTC path (app2.py:28-32). The socket
+    path (server.py:166-170) uses ``n_fft=1024, hop=512`` with phase reuse.
+    """
+
+    sample_rate: int = 48000
+    n_fft: int = 1536
+    win_length: Optional[int] = None  # None -> n_fft
+    hop_length: int = 768
+    n_mels: int = 64
+    # 'mel'  -> mel log1p domain (app2.py / dari_tult checkpoints)
+    # 'raw'  -> clamped raw-spectrogram domain (GRUUNet2-good / MOMO3)
+    domain: str = "mel"
+    # 'griffin_lim' (app2.py:220) or 'phase' = noisy-phase reuse (server.py:215-216)
+    reconstruction: str = "phase"
+    griffin_lim_iters: int = 32
+    griffin_lim_momentum: float = 0.99
+
+    @property
+    def win(self) -> int:
+        return self.win_length or self.n_fft
+
+    @property
+    def n_stft(self) -> int:
+        return self.n_fft // 2 + 1
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture + hyperparameters, matching the reference's checkpoint
+    ``config`` dicts (verified from saves/*/checkpoint.pth)."""
+
+    arch: str = "GRUUNet2"
+    num_compressed_bins: int = 4
+    in_size: int = 1
+    hidden_sizes: Tuple[int, ...] = (17, 17, 17, 17)
+    kernel_sizes: Tuple[int, ...] = (3, 3, 3, 3)
+    strides: Tuple[int, ...] = (2, 2, 2, 2)
+    paddings: Tuple[int, ...] = (1, 1, 1, 1)
+    num_gaussians: int = 6
+    # 2D U-Net family extras (unet.py / unet4.py)
+    chnls_in: int = 1
+    chnls_out: int = 1
+    chnls_gs: int = 32
+    dropout: float = 0.01
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_reference_dict(cls, arch: str, cfg: Dict[str, Any]) -> "ModelConfig":
+        """Build from a checkpoint's ``config`` field (app2.py:62-99 treats
+        that field as the source of truth for reconstruction)."""
+        known = {f.name for f in dataclasses.fields(cls)}
+        kw: Dict[str, Any] = {"arch": arch}
+        extra: Dict[str, Any] = {}
+        for k, v in cfg.items():
+            if k in ("hidden_sizes", "kernel_sizes", "strides", "paddings"):
+                kw[k] = _tup(v)
+            elif k in known:
+                kw[k] = v
+            else:
+                extra[k] = v
+        kw["extra"] = extra
+        return cls(**kw)
+
+    def to_reference_dict(self) -> Dict[str, Any]:
+        """Round-trip back to the reference checkpoint ``config`` layout."""
+        if self.arch.lower().startswith(("unet2d", "unet4")):
+            return dict(
+                chnls_in=self.chnls_in, chnls_out=self.chnls_out,
+                chnls_gs=self.chnls_gs, dropout=self.dropout, **self.extra,
+            )
+        d = dict(
+            num_compressed_bins=self.num_compressed_bins,
+            in_size=self.in_size,
+            hidden_sizes=tuple(self.hidden_sizes),
+            kernel_sizes=tuple(self.kernel_sizes),
+            strides=tuple(self.strides),
+            paddings=tuple(self.paddings),
+            num_gaussians=self.num_gaussians,
+        )
+        d.update(self.extra)
+        return d
+
+
+@dataclass(frozen=True)
+class ServingConfig:
+    """Batched multi-stream serving parameters."""
+
+    max_streams: int = 256
+    chunk_samples: int = 768          # samples consumed per stream per step
+    dtype: str = "float32"
+    mesh_axis: str = "streams"        # 1-D mesh axis the batch is sharded over
+    state_decay: float = 1.0          # server.py:214 uses hx *= 0.9
+    output_gain: float = 1.0          # server.py:213 uses x3
+    passthrough_on_underrun: bool = True
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Reconstructed training contract (SURVEY §3.5; TrainingContext at
+    reference server.py:86-142): AdamW + ExponentialLR(0.9), batch 64,
+    MSE on residual target, eval MAE."""
+
+    batch_size: int = 64
+    learning_rate: float = 1e-3
+    lr_gamma: float = 0.9             # per-epoch exponential decay
+    weight_decay: float = 0.01
+    seq_frames: int = 64              # frames per training sequence
+    crop_samples: int = 48000
+    loss_metric_train: str = "MSE"
+    loss_metric_eval: str = "MAE"
+    target_name: str = "clamped mel-spectrogram"
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class Config:
+    dsp: DSPConfig = field(default_factory=DSPConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    serving: ServingConfig = field(default_factory=ServingConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def to_json(self) -> str:
+        def default(o):
+            if dataclasses.is_dataclass(o):
+                return dataclasses.asdict(o)
+            raise TypeError(type(o))
+        return json.dumps(dataclasses.asdict(self), default=default, indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        d = json.loads(s)
+        return cls(
+            dsp=DSPConfig(**{k: _tup(v) if k in () else v for k, v in d.get("dsp", {}).items()}),
+            model=ModelConfig(**{
+                k: (_tup(v) if k in ("hidden_sizes", "kernel_sizes", "strides", "paddings") else v)
+                for k, v in d.get("model", {}).items()
+            }),
+            serving=ServingConfig(**d.get("serving", {})),
+            train=TrainConfig(**d.get("train", {})),
+        )
+
+
+# Named presets matching the shipped reference checkpoints (SURVEY §2).
+PRESETS: Dict[str, Config] = {
+    # WebRTC path: mel domain, Griffin-Lim reconstruction (app2.py).
+    "gruunet2-dari_tult": Config(
+        dsp=DSPConfig(n_fft=1536, hop_length=768, n_mels=64, domain="mel",
+                      reconstruction="griffin_lim"),
+        model=ModelConfig(arch="GRUUNet2"),
+    ),
+    "gruunet2-dari_tult2": Config(
+        dsp=DSPConfig(n_fft=1536, hop_length=768, n_mels=64, domain="mel",
+                      reconstruction="griffin_lim"),
+        model=ModelConfig(arch="GRUUNet2"),
+    ),
+    # Socket path: mel-domain model at 1024/512 with noisy-phase reuse (server.py).
+    "gruunet2-good": Config(
+        dsp=DSPConfig(n_fft=1024, hop_length=512, n_mels=64, domain="mel",
+                      reconstruction="phase"),
+        model=ModelConfig(arch="GRUUNet2"),
+        serving=ServingConfig(state_decay=0.9, output_gain=3.0, chunk_samples=512),
+    ),
+    "momo3-4d4ea0": Config(
+        dsp=DSPConfig(n_fft=1024, hop_length=512, n_mels=22, domain="mel",
+                      reconstruction="phase"),
+        model=ModelConfig(arch="MOMO3", num_compressed_bins=3,
+                          hidden_sizes=(16, 16, 16), kernel_sizes=(3, 3, 3),
+                          strides=(2, 2, 2), paddings=(1, 0, 1)),
+    ),
+}

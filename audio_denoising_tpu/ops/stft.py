@@ -97,13 +97,14 @@ def istft(spec: jnp.ndarray, n_fft: int, hop_length: int,
     env = env.at[idx].add(jnp.tile(window * window, t))
     out = out / jnp.where(jnp.abs(env) > 1e-11, env, 1.0)
 
-    if center:
-        half = n_fft // 2
-        out = out[..., half:out_len - half]
-    if length is not None:
-        cur = out.shape[-1]
-        if length > cur:
-            out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, length - cur)])
-        else:
-            out = out[..., :length]
-    return out
+    # torch.istft trimming: with center, drop n_fft//2 from the start; the
+    # end is trimmed to (out_len - n_fft//2) ONLY when no explicit length is
+    # requested — a given length is taken from the start offset directly.
+    start = n_fft // 2 if center else 0
+    if length is None:
+        end = out_len - start if center else out_len
+    else:
+        end = start + length
+    if end > out_len:
+        out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, end - out_len)])
+    return out[..., start:end]

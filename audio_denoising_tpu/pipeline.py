@@ -1,0 +1,181 @@
+"""End-to-end denoise graphs.
+
+Three pipelines mirror the reference's entry points, each built as ONE pure
+jitted function (the reference crosses the Python/torch boundary per stage;
+here XLA fuses the whole chain):
+
+- ``offline_denoise``      — full-file STFT -> model scan -> reconstruct
+                             (the intended semantics of app.py's upload path,
+                             whose shipped version feeds raw waveform into the
+                             model with no STFT — a defect, app.py:197-210).
+- ``make_webrtc_step``     — the app2.py recv hot loop (app2.py:174-233):
+                             per-hop ring buffer, per-frame peak norm, Hann
+                             pre-window, mel log1p domain, residual subtract,
+                             leaky_relu(0.2), expm1, inverse mel, Griffin-Lim,
+                             overlap-add.
+- ``make_server_step``     — the server.py loop (server.py:200-216): noisy
+                             phase reuse, relu gain x3, hx decay x0.9, iSTFT.
+
+All functions are batched over a leading streams axis and carry state as an
+explicit pytree (no mutable processor objects — removes the reference's
+cross-thread hx races, SURVEY §5).
+"""
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from audio_denoising_tpu.config import Config
+from audio_denoising_tpu.ops import (
+    hann_window, stft, istft, mel_filterbank, inverse_mel_matrix,
+    mel_scale, inverse_mel_scale, griffin_lim, num_frames,
+)
+
+
+def _transforms(cfg: Config):
+    dsp = cfg.dsp
+    fb = mel_filterbank(dsp.n_stft, dsp.n_mels, dsp.sample_rate)
+    inv = inverse_mel_matrix(dsp.n_stft, dsp.n_mels, dsp.sample_rate)
+    win = hann_window(dsp.win)
+    return fb, inv, win
+
+
+# --------------------------------------------------------------------------
+# Offline full-file denoise
+# --------------------------------------------------------------------------
+
+def offline_denoise(cfg: Config, model, params, audio: jnp.ndarray,
+                    hx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """audio: (B, L) or (L,) -> denoised audio of the same length.
+
+    Full-sequence mel-domain denoise: STFT -> mel log1p -> residual model
+    over all frames -> subtract -> inverse mel -> phase reuse or Griffin-Lim.
+    """
+    dsp = cfg.dsp
+    squeeze = audio.ndim == 1
+    if squeeze:
+        audio = audio[None]
+    length = audio.shape[-1]
+    fb, inv, win = _transforms(cfg)
+
+    spec = stft(audio, dsp.n_fft, dsp.hop_length, dsp.win, window=win)
+    mag = jnp.abs(spec)
+    logmel = jnp.log1p(mel_scale(mag, fb))                 # (B, M, T)
+    x = jnp.swapaxes(logmel, -1, -2)                       # (B, T, M)
+    resid, _ = model.apply(params, x, hx)
+    recon = jax.nn.leaky_relu(x - resid, negative_slope=0.2)
+    mel_mag = jnp.maximum(jnp.expm1(jnp.swapaxes(recon, -1, -2)), 0.0)
+    lin_mag = inverse_mel_scale(mel_mag, inv)              # (B, F, T)
+
+    if dsp.reconstruction == "phase":
+        phase = jnp.angle(spec)
+        rec = lin_mag * jnp.exp(1j * phase)
+        out = istft(rec, dsp.n_fft, dsp.hop_length, dsp.win, window=win,
+                    length=length)
+    else:
+        out = griffin_lim(lin_mag, dsp.n_fft, dsp.hop_length, dsp.win,
+                          window=win, n_iter=dsp.griffin_lim_iters,
+                          momentum=dsp.griffin_lim_momentum, length=length)
+    return out[0] if squeeze else out
+
+
+def jit_offline_denoiser(cfg: Config, model):
+    """Returns a jitted ``fn(params, audio) -> audio``; retraces only per
+    distinct audio length (pad/bucket upstream for serving)."""
+    return jax.jit(partial(offline_denoise, cfg, model))
+
+
+# --------------------------------------------------------------------------
+# WebRTC-path streaming step (app2.py semantics)
+# --------------------------------------------------------------------------
+
+class WebRTCState(NamedTuple):
+    ring: jnp.ndarray   # (B, n_fft) input window
+    ola: jnp.ndarray    # (B, n_fft) overlap-add accumulator
+    hx: jnp.ndarray     # model hidden state
+
+
+def webrtc_init_state(cfg: Config, model, batch: int,
+                      dtype=jnp.float32) -> WebRTCState:
+    n_fft = cfg.dsp.n_fft
+    return WebRTCState(
+        ring=jnp.zeros((batch, n_fft), dtype),
+        ola=jnp.zeros((batch, n_fft), dtype),
+        hx=model.init_state(batch, dtype),
+    )
+
+
+def make_webrtc_step(cfg: Config, model):
+    """Build ``step(params, state, chunk) -> (state, out)``; chunk/out are
+    (B, hop). One hop in, one hop out, matching the app2.py loop exactly
+    (output segment is emitted BEFORE the current frame enters the OLA
+    buffer, app2.py:226-231)."""
+    dsp = cfg.dsp
+    n_fft, hop = dsp.n_fft, dsp.hop_length
+    fb, inv, win = _transforms(cfg)
+
+    def step(params, state: WebRTCState,
+             chunk: jnp.ndarray) -> Tuple[WebRTCState, jnp.ndarray]:
+        ring = jnp.concatenate([state.ring[:, hop:], chunk], axis=-1)
+
+        peak = jnp.max(jnp.abs(ring), axis=-1, keepdims=True)
+        ok = peak > 1e-6
+        normed = jnp.where(ok, ring / jnp.where(ok, peak, 1.0), ring)
+        peak = jnp.where(ok, peak, 1.0)
+
+        windowed = normed * win                           # Hann pre-window
+        spec = stft(windowed, n_fft, hop, dsp.win, window=win)
+        mag = jnp.abs(spec)
+        logmel = jnp.log1p(mel_scale(mag, fb))            # (B, M, T=3)
+        x = jnp.swapaxes(logmel, -1, -2)
+        resid, hx = model.apply(params, x, state.hx)
+        recon = jax.nn.leaky_relu(x - resid, negative_slope=0.2)
+        mel_mag = jnp.maximum(jnp.expm1(jnp.swapaxes(recon, -1, -2)), 0.0)
+        lin_mag = inverse_mel_scale(mel_mag, inv)
+        frame = griffin_lim(lin_mag, n_fft, hop, dsp.win, window=win,
+                            n_iter=dsp.griffin_lim_iters,
+                            momentum=dsp.griffin_lim_momentum)  # (B, n_fft)
+        frame = frame * peak
+
+        out = state.ola[:, :hop]
+        ola = jnp.concatenate(
+            [state.ola[:, hop:], jnp.zeros_like(state.ola[:, :hop])], axis=-1)
+        ola = ola + frame
+        return WebRTCState(ring=ring, ola=ola, hx=hx), out
+
+    return step
+
+
+# --------------------------------------------------------------------------
+# Socket-path step (server.py semantics): per-chunk, phase reuse
+# --------------------------------------------------------------------------
+
+def make_server_step(cfg: Config, model):
+    """Build ``step(params, hx, chunk) -> (hx, out)``; chunk (B, L) is
+    processed as one centered STFT exactly like a server.py recv message
+    (server.py:200-216), with output gain and state decay from serving
+    config."""
+    dsp = cfg.dsp
+    srv = cfg.serving
+    fb, inv, win = _transforms(cfg)
+
+    def step(params, hx, chunk: jnp.ndarray):
+        length = chunk.shape[-1]
+        spec = stft(chunk, dsp.n_fft, dsp.hop_length, dsp.win, window=win)
+        phase = jnp.angle(spec)
+        mag = jnp.abs(spec)
+        logmel = jnp.log1p(mel_scale(mag, fb))
+        x = jnp.swapaxes(logmel, -1, -2)
+        out, hx = model.apply(params, x, hx)
+        out = jax.nn.relu(jnp.swapaxes(out, -1, -2)) * srv.output_gain
+        hx = hx * srv.state_decay
+        target = jnp.exp(logmel - out) - 1.0
+        lin = inverse_mel_scale(target, inv)
+        rec = lin * jnp.exp(1j * phase)
+        y = istft(rec, dsp.n_fft, dsp.hop_length, dsp.win, window=win,
+                  length=length)
+        return hx, y
+
+    return step

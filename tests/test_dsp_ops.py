@@ -76,6 +76,22 @@ class TestSTFT:
         np.testing.assert_allclose(np.asarray(y)[0, 1024:-1024],
                                    x[0, 1024:-1024], atol=1e-4)
 
+    def test_istft_length_matches_torch_on_modified_spec(self, rng):
+        """torch.istft with an explicit length takes samples from the start
+        offset INTO the tail that the no-length path would trim — exercised
+        with a non-consistent (modified-magnitude) spectrogram, the serving
+        path's actual input (server.py:215-216)."""
+        x = _rand(rng, 1, 4800)
+        spec = torch.stft(torch.from_numpy(x), 1024, 512,
+                          window=torch.hann_window(1024), center=True,
+                          pad_mode="reflect", return_complex=True)
+        spec = spec * torch.rand(spec.shape)  # break consistency
+        ref = torch.istft(spec, 1024, 512, window=torch.hann_window(1024),
+                          length=4800).numpy()
+        ours = np.asarray(ops.istft(jnp.asarray(spec.numpy()), 1024, 512,
+                                    length=4800))
+        np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
+
     def test_num_frames(self):
         assert ops.num_frames(1536, 1536, 768) == 3
         assert ops.num_frames(4800, 1024, 512) == 10

@@ -1,0 +1,66 @@
+"""Whole-file audio cache with random-crop sampling.
+
+Replaces the reference's process-global ``AUDIO_CACHE`` dict and its crop
+helpers (utils.py:25, 98-171) with an explicit object (no global mutable
+state); entries are decoded once and crops are served from memory — the
+training data path.
+"""
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from audio_denoising_tpu.io.wavio import read_wav
+from audio_denoising_tpu.io.ffmpeg import ffmpeg_available, read_audio_ffmpeg
+
+
+class AudioCache:
+    def __init__(self, seed: int = 0):
+        self._entries: Dict[str, Tuple[np.ndarray, int]] = {}
+        self._rng = np.random.default_rng(seed)
+
+    @staticmethod
+    def _canonical(path: str) -> str:
+        return os.path.realpath(os.path.normcase(os.path.abspath(path)))
+
+    def load(self, path: str) -> Tuple[np.ndarray, int]:
+        """-> (samples (C, N) float32, sample_rate), decoded once."""
+        key = self._canonical(path)
+        if key not in self._entries:
+            if path.lower().endswith(".wav"):
+                self._entries[key] = read_wav(path)
+            elif ffmpeg_available():
+                self._entries[key] = read_audio_ffmpeg(path)
+            else:
+                raise RuntimeError(f"cannot decode {path!r}: WAV-only "
+                                   "environment (no ffmpeg)")
+        return self._entries[key]
+
+    def random_crop(self, path: str, crop_samples: int) -> Tuple[np.ndarray, int]:
+        """Random fixed-size crop (utils.py:98-119); short files wrap by
+        tiling (the reference concatenates more files instead,
+        utils.py:121-164 — tiling keeps the sampler single-file and pure)."""
+        samples, sr = self.load(path)
+        n = samples.shape[-1]
+        if n < crop_samples:
+            reps = int(np.ceil(crop_samples / n))
+            samples = np.tile(samples, (1, reps))
+            n = samples.shape[-1]
+        if n == crop_samples:
+            return samples.copy(), sr
+        start = int(self._rng.integers(0, n - crop_samples))
+        return samples[..., start:start + crop_samples].copy(), sr
+
+    def random_crop_from(self, paths: List[str], crop_samples: int,
+                         sample_rate: Optional[int] = None):
+        """Crop from a random file (optionally filtered by sample rate)."""
+        candidates = paths
+        if sample_rate is not None:
+            candidates = [p for p in paths
+                          if self.load(p)[1] == sample_rate] or paths
+        path = candidates[int(self._rng.integers(0, len(candidates)))]
+        return self.random_crop(path, crop_samples)
+
+    def __len__(self):
+        return len(self._entries)

@@ -1,0 +1,180 @@
+"""TrainingContext: AdamW + exponential LR decay, residual-MSE objective,
+per-iteration loss records, native checkpointing.
+
+Mirrors the reference contract (TrainingContext, server.py:86-142: AdamW,
+ExponentialLR(gamma=0.9), batch 64, loss records keyed by total_iters,
+best-eval tracking) rebuilt on optax with pure jitted steps. The train step
+computes features (STFT -> mel log1p) on device and supports data-parallel
+sharding over a mesh (params replicated, batch sharded — XLA inserts the
+gradient psums from shardings).
+"""
+
+import json
+import os
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from audio_denoising_tpu.compat.npz_store import load_params_npz, save_params_npz
+from audio_denoising_tpu.config import Config
+from audio_denoising_tpu.ops import hann_window, mel_filterbank, mel_scale, stft
+from audio_denoising_tpu.train.losses import LOSSES
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, jnp.ndarray]
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_feature_fn(cfg: Config):
+    """waveform (B, L) -> mel log1p frames (B, T, M), on device."""
+    dsp = cfg.dsp
+    fb = mel_filterbank(dsp.n_stft, dsp.n_mels, dsp.sample_rate)
+    win = hann_window(dsp.win)
+
+    def features(wave: jnp.ndarray) -> jnp.ndarray:
+        spec = stft(wave, dsp.n_fft, dsp.hop_length, dsp.win, window=win)
+        return jnp.swapaxes(jnp.log1p(mel_scale(jnp.abs(spec), fb)), -1, -2)
+
+    return features
+
+
+class TrainingContext:
+    def __init__(self, cfg: Config, model, params: Optional[Dict] = None,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.model = model
+        tr = cfg.train
+        if params is None:
+            params = model.init(jax.random.PRNGKey(seed))
+
+        # ExponentialLR(0.9) decays per scheduler step; the reference steps
+        # it per epoch. transition_steps makes the epoch length explicit.
+        self.schedule = optax.exponential_decay(
+            init_value=tr.learning_rate, transition_steps=1000,
+            decay_rate=tr.lr_gamma, staircase=True)
+        self.optim = optax.adamw(self.schedule, weight_decay=tr.weight_decay)
+        self.state = TrainState(params=params,
+                                opt_state=self.optim.init(params),
+                                step=jnp.zeros((), jnp.int32))
+
+        self.features = make_feature_fn(cfg)
+        self.train_loss = LOSSES[tr.loss_metric_train]
+        self.eval_loss = LOSSES[tr.loss_metric_eval]
+        self.train_loss_record: Dict[int, float] = {}
+        self.test_loss_record: Dict[int, float] = {}
+        self.best_eval_loss: Optional[float] = None
+        self.total_iters = 0
+
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # -- pure steps ---------------------------------------------------------
+    def _loss(self, params, mixture, clean, loss_fn):
+        x = self.features(mixture)           # (B, T, M) noisy input
+        target = x - self.features(clean)    # residual target (noisy - clean)
+        pred, _ = self.model.apply(params, x)
+        return loss_fn(pred, target)
+
+    def _train_step_impl(self, state: TrainState, mixture, clean):
+        loss, grads = jax.value_and_grad(
+            lambda p: self._loss(p, mixture, clean, self.train_loss)
+        )(state.params)
+        updates, opt_state = self.optim.update(grads, state.opt_state,
+                                               state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def _eval_step_impl(self, params, mixture, clean):
+        return self._loss(params, mixture, clean, self.eval_loss)
+
+    # -- host loop ------------------------------------------------------------
+    def train_step(self, mixture: np.ndarray, clean: np.ndarray) -> float:
+        self.state, loss = self._train_step(self.state, jnp.asarray(mixture),
+                                            jnp.asarray(clean))
+        self.total_iters += 1
+        val = float(loss)
+        self.train_loss_record[self.total_iters] = val
+        return val
+
+    def eval_step(self, mixture: np.ndarray, clean: np.ndarray) -> float:
+        val = float(self._eval_step(self.state.params, jnp.asarray(mixture),
+                                    jnp.asarray(clean)))
+        self.test_loss_record[self.total_iters] = val
+        if self.best_eval_loss is None or val < self.best_eval_loss:
+            self.best_eval_loss = val
+        return val
+
+    def fit(self, sampler, iters: int, eval_every: int = 0,
+            log_every: int = 0) -> Dict[int, float]:
+        for i, (mixture, clean) in enumerate(sampler):
+            if i >= iters:
+                break
+            loss = self.train_step(mixture, clean)
+            if log_every and (i + 1) % log_every == 0:
+                print(f"iter {self.total_iters}: train "
+                      f"{self.cfg.train.loss_metric_train}={loss:.5f}")
+            if eval_every and (i + 1) % eval_every == 0:
+                m, c = sampler.sample()
+                self.eval_step(m, c)
+        return self.train_loss_record
+
+    # -- checkpointing ----------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Native checkpoint: params + loss records + config + metadata —
+        carrying the same contract fields as the reference's save_model
+        (app.py:43-91)."""
+        meta = {
+            "arch": self.cfg.model.arch,
+            "config": self.cfg.model.to_reference_dict(),
+            "full_config": json.loads(self.cfg.to_json()),
+            "total_training_iters": self.total_iters,
+            "last_target_name": self.cfg.train.target_name,
+            "last_batch_size": self.cfg.train.batch_size,
+            "loss_metric": {"train": self.cfg.train.loss_metric_train,
+                            "test": self.cfg.train.loss_metric_eval},
+            "loss_record": {"train": {str(k): v for k, v in
+                                      self.train_loss_record.items()},
+                            "test": {str(k): v for k, v in
+                                     self.test_loss_record.items()}},
+        }
+        params_np = {k: np.asarray(v) for k, v in self.state.params.items()}
+        save_params_npz(path, params_np, meta)
+
+    @classmethod
+    def load(cls, path: str, cfg: Config, model) -> "TrainingContext":
+        params, meta = load_params_npz(path)
+        self = cls(cfg, model, params={k: jnp.asarray(v)
+                                       for k, v in params.items()})
+        self.total_iters = meta.get("total_training_iters") or 0
+        rec = meta.get("loss_record") or {}
+        self.train_loss_record = {int(k): v for k, v in
+                                  (rec.get("train") or {}).items()}
+        self.test_loss_record = {int(k): v for k, v in
+                                 (rec.get("test") or {}).items()}
+        if self.test_loss_record:
+            self.best_eval_loss = min(self.test_loss_record.values())
+        return self
+
+
+def make_sharded_train_step(ctx: TrainingContext, mesh):
+    """Data-parallel train step over a mesh: params/opt-state replicated,
+    batch sharded on the leading axis; gradient all-reduce is inserted by
+    XLA from the output shardings."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+    state_sh = jax.tree.map(lambda _: repl, ctx.state)
+
+    return jax.jit(
+        ctx._train_step_impl,
+        in_shardings=(state_sh, shard, shard),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    )

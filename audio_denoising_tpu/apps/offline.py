@@ -1,0 +1,76 @@
+"""Offline file denoising — the intended semantics of the reference's
+upload path (app.py:171-223 resamples/monotizes/peak-normalizes, then was
+*meant* to run STFT -> model -> iSTFT; the shipped code feeds raw waveform
+into the model, a defect documented in SURVEY §3.4). Here the full chain is
+one jitted graph (pipeline.offline_denoise)."""
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audio_denoising_tpu.config import Config
+from audio_denoising_tpu.hub import load_pretrained
+from audio_denoising_tpu.io.wavio import read_wav, write_wav
+from audio_denoising_tpu.ops.resample import resample
+from audio_denoising_tpu.pipeline import offline_denoise
+
+
+_JIT_CACHE = {}
+
+
+def _jitted_chain(cfg: Config, model, sample_rate: int):
+    """One jitted graph for the WHOLE chain (mono, resample, peak norm,
+    denoise, de-norm): eager dispatch is prohibitive on a remote-attached
+    TPU (~30 ms per op round trip), so nothing runs outside jit. Cached per
+    (model, input rate); jit itself caches per input length."""
+    key = (id(model), cfg.dsp, sample_rate)
+    if key not in _JIT_CACHE:
+        def chain(params, x):
+            # Offline mode is the parity surface (<=1e-3 vs the torch
+            # reference): force fp32 matmuls — TPU's default bf16 inputs
+            # cost ~1e-2 end-to-end error through mel/conv chains.
+            with jax.default_matmul_precision("float32"):
+                if x.ndim == 2:           # to mono (app.py:186-188)
+                    x = jnp.mean(x, axis=0)
+                if sample_rate != cfg.dsp.sample_rate:
+                    x = resample(x[None], sample_rate, cfg.dsp.sample_rate)[0]
+                peak = jnp.max(jnp.abs(x))
+                scale = jnp.where(peak > 1e-8, peak, 1.0)
+                y = offline_denoise(cfg, model, params, x / scale)
+                return y * scale
+        _JIT_CACHE[key] = jax.jit(chain)
+    return _JIT_CACHE[key]
+
+
+def denoise_array(cfg: Config, model, params, samples: np.ndarray,
+                  sample_rate: int) -> np.ndarray:
+    """samples: (C, N) or (N,) float32 at ``sample_rate`` -> denoised mono
+    (N',) float32 at ``cfg.dsp.sample_rate``."""
+    x = jnp.asarray(samples, jnp.float32)
+    return np.asarray(_jitted_chain(cfg, model, sample_rate)(params, x))
+
+
+def denoise_file(spec: str, in_path: str, out_path: str,
+                 cfg: Optional[Config] = None) -> str:
+    cfg, model, params = load_pretrained(spec, cfg)
+    samples, sr = read_wav(in_path)
+    out = denoise_array(cfg, model, params, samples, sr)
+    write_wav(out_path, out[None], cfg.dsp.sample_rate)
+    return out_path
+
+
+def main(argv=None) -> int:
+    import argparse
+    p = argparse.ArgumentParser(
+        prog="audio_denoising_tpu denoise",
+        description="Offline WAV -> WAV denoising on TPU")
+    p.add_argument("input", help="input WAV path")
+    p.add_argument("output", help="output WAV path")
+    p.add_argument("--model", default="gruunet2-good",
+                   help="preset name, .npz, or reference .pth checkpoint")
+    args = p.parse_args(argv)
+    path = denoise_file(args.model, args.input, args.output)
+    print(f"wrote {path}")
+    return 0

@@ -1,0 +1,82 @@
+"""Training CLI — the reconstructed loop of the reference's missing
+``main.ipynb`` (contract: SURVEY §3.5 — AdamW + ExponentialLR(0.9),
+batch 64, random clean/noise crops mixed additively, MSE on the residual
+spectrogram, per-iteration loss records, periodic checkpoint save)."""
+
+import argparse
+import glob
+import os
+
+import jax
+
+from audio_denoising_tpu.config import Config, PRESETS
+from audio_denoising_tpu.models import build_model
+from audio_denoising_tpu.train.context import TrainingContext, make_sharded_train_step
+from audio_denoising_tpu.train.data import MixtureSampler
+
+
+def find_corpus(data_dir: str):
+    clean = sorted(glob.glob(os.path.join(data_dir, "**", "*.wav"),
+                             recursive=True))
+    noise_dir = os.path.join(data_dir, "noise")
+    noise = sorted(glob.glob(os.path.join(noise_dir, "**", "*.*"),
+                             recursive=True)) if os.path.isdir(noise_dir) else []
+    return clean, noise
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="audio_denoising_tpu train",
+        description="Train a denoising model on mixture-synthesized data")
+    p.add_argument("--preset", default="gruunet2-dari_tult",
+                   choices=sorted(PRESETS))
+    p.add_argument("--data", required=True,
+                   help="directory of clean WAVs (noise/ subdir optional)")
+    p.add_argument("--iters", type=int, default=1000)
+    p.add_argument("--eval-every", type=int, default=100)
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--save", default="run.npz", help="checkpoint output path")
+    p.add_argument("--resume", default=None, help="checkpoint to resume from")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all devices")
+    args = p.parse_args(argv)
+
+    cfg: Config = PRESETS[args.preset]
+    model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+    if args.resume:
+        ctx = TrainingContext.load(args.resume, cfg, model)
+        print(f"resumed at iter {ctx.total_iters}")
+    else:
+        ctx = TrainingContext(cfg, model, seed=cfg.train.seed)
+
+    clean, noise = find_corpus(args.data)
+    if not clean:
+        p.error(f"no WAV files under {args.data}")
+    sampler = MixtureSampler(clean, noise,
+                             crop_samples=cfg.train.crop_samples,
+                             batch_size=cfg.train.batch_size,
+                             seed=cfg.train.seed)
+
+    if args.data_parallel and len(jax.devices()) > 1:
+        from audio_denoising_tpu.parallel.mesh import make_mesh
+        step = make_sharded_train_step(ctx, make_mesh())
+        print(f"data-parallel over {len(jax.devices())} devices")
+
+        import jax.numpy as jnp
+        for i, (mixture, clean_b) in enumerate(sampler):
+            if i >= args.iters:
+                break
+            ctx.state, loss = step(ctx.state, jnp.asarray(mixture),
+                                   jnp.asarray(clean_b))
+            ctx.total_iters += 1
+            ctx.train_loss_record[ctx.total_iters] = float(loss)
+            if args.log_every and (i + 1) % args.log_every == 0:
+                print(f"iter {ctx.total_iters}: {float(loss):.5f}")
+    else:
+        ctx.fit(sampler, iters=args.iters, eval_every=args.eval_every,
+                log_every=args.log_every)
+
+    ctx.save(args.save)
+    print(f"saved {args.save} at iter {ctx.total_iters} "
+          f"(best eval: {ctx.best_eval_loss})")
+    return 0

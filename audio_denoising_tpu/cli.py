@@ -1,0 +1,86 @@
+"""Top-level CLI: ``python -m audio_denoising_tpu <command> ...``.
+
+Replaces the reference's Streamlit UI chrome + ad-hoc daemons with one
+dispatcher (SURVEY §7 'apps'): denoise (offline file), serve (reference
+socket protocol), engine (batched multi-stream daemon), train, loopback
+(mic diagnostic), convert (.pth -> .npz), info (checkpoint inspector).
+"""
+
+import sys
+
+
+def _info(argv) -> int:
+    import argparse
+    import json
+    p = argparse.ArgumentParser(prog="audio_denoising_tpu info")
+    p.add_argument("checkpoint", help=".npz or reference .pth checkpoint")
+    args = p.parse_args(argv)
+    if args.checkpoint.endswith(".pth"):
+        from audio_denoising_tpu.compat import load_torch_checkpoint
+        ck = load_torch_checkpoint(args.checkpoint)
+        meta = {k: v for k, v in ck.items()
+                if isinstance(v, (str, int, float))}
+        meta["config"] = ck.get("config")
+        meta["n_params"] = sum(
+            getattr(v, "size", 0) for v in ck["model_state_dict"].values())
+        losses = (ck.get("loss_record") or {}).get("train") or {}
+        if losses:
+            vals = list(losses.values())
+            meta["train_loss_first"] = vals[0]
+            meta["train_loss_min"] = min(vals)
+    else:
+        from audio_denoising_tpu.compat.npz_store import load_params_npz
+        params, meta = load_params_npz(args.checkpoint)
+        meta = dict(meta)
+        meta["n_params"] = int(sum(v.size for v in params.values()))
+    print(json.dumps(meta, indent=2, default=str))
+    return 0
+
+
+def _convert(argv) -> int:
+    import argparse
+    p = argparse.ArgumentParser(prog="audio_denoising_tpu convert")
+    p.add_argument("pth", help="reference .pth checkpoint")
+    p.add_argument("npz", help="output .npz path")
+    args = p.parse_args(argv)
+    from audio_denoising_tpu.compat import (
+        load_torch_checkpoint, save_params_npz, state_dict_to_params)
+    ck = load_torch_checkpoint(args.pth)
+    params = state_dict_to_params(ck["model_state_dict"])
+    meta = {k: v for k, v in ck.items()
+            if k not in ("model_state_dict", "optimizer_state_dict",
+                         "scheduler_state_dict", "state_dict")}
+    save_params_npz(args.npz, params, meta)
+    print(f"wrote {args.npz} ({len(params)} tensors)")
+    return 0
+
+
+COMMANDS = {
+    "denoise": "audio_denoising_tpu.apps.offline",
+    "serve": "audio_denoising_tpu.apps.serve",
+    "engine": "audio_denoising_tpu.apps.engine_serve",
+    "train": "audio_denoising_tpu.apps.trainer",
+    "loopback": "audio_denoising_tpu.apps.loopback",
+}
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        names = ", ".join(list(COMMANDS) + ["convert", "info"])
+        print(f"usage: python -m audio_denoising_tpu <command> [...]\n"
+              f"commands: {names}")
+        return 0 if argv else 2
+    cmd, rest = argv[0], argv[1:]
+    if cmd in COMMANDS:
+        from audio_denoising_tpu.utils import enable_compilation_cache
+        enable_compilation_cache()
+    if cmd == "info":
+        return _info(rest)
+    if cmd == "convert":
+        return _convert(rest)
+    if cmd in COMMANDS:
+        import importlib
+        return importlib.import_module(COMMANDS[cmd]).main(rest)
+    print(f"unknown command {cmd!r}", file=sys.stderr)
+    return 2

@@ -1,0 +1,79 @@
+"""Model hub: one call from a name/path to (cfg, model, params).
+
+Resolves, in order:
+
+- a preset name from ``config.PRESETS`` (``gruunet2-good`` ...) backed by a
+  converted checkpoint in ``<repo>/checkpoints/<name>.npz``;
+- a path to a native ``.npz`` checkpoint (params + JSON meta, written by
+  ``TrainingContext.save`` or ``tools/import_checkpoints.py``);
+- a path to a reference torch ``.pth`` checkpoint (dict format written by
+  the reference's save_model, app.py:43-91) — parsed without torch.
+
+The checkpoint's embedded config is the source of truth when present
+(the reference's robust loader treats it the same way, app2.py:62-99).
+"""
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from audio_denoising_tpu.config import Config, ModelConfig, PRESETS
+from audio_denoising_tpu.models import build_model
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CHECKPOINT_DIR = os.path.join(_REPO_ROOT, "checkpoints")
+
+
+def _as_jnp(params: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.asarray(v) for k, v in params.items()}
+
+
+def load_pretrained(spec: str, cfg: Optional[Config] = None):
+    """-> (cfg, model, params). ``spec`` is a preset name, .npz path, or
+    reference .pth path."""
+    if spec in PRESETS:
+        cfg = cfg or PRESETS[spec]
+        path = os.path.join(CHECKPOINT_DIR, f"{spec}.npz")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"preset {spec!r} has no converted checkpoint at {path}; "
+                f"run tools/import_checkpoints.py first")
+        return _load_npz(path, cfg)
+    if spec.endswith(".npz"):
+        return _load_npz(spec, cfg)
+    if spec.endswith(".pth"):
+        return _load_pth(spec, cfg)
+    raise ValueError(
+        f"unknown model spec {spec!r}: expected a preset name "
+        f"({', '.join(sorted(PRESETS))}), a .npz path, or a .pth path")
+
+
+def _load_npz(path: str, cfg: Optional[Config]):
+    from audio_denoising_tpu.compat.npz_store import load_params_npz
+    params, meta = load_params_npz(path)
+    if cfg is None:
+        if "full_config" in meta:
+            import json
+            cfg = Config.from_json(json.dumps(meta["full_config"]))
+        elif "arch" in meta and "config" in meta:
+            cfg = Config(model=ModelConfig.from_reference_dict(
+                meta["arch"], meta["config"]))
+        else:
+            raise ValueError(f"{path} has no embedded config; pass cfg=")
+    model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+    return cfg, model, _as_jnp(params)
+
+
+def _load_pth(path: str, cfg: Optional[Config]):
+    from audio_denoising_tpu.compat import (
+        load_torch_checkpoint, state_dict_to_params)
+    ckpt = load_torch_checkpoint(path)
+    arch = ckpt.get("arch") or ckpt.get("model_class") or "GRUUNet2"
+    if cfg is None:
+        mc = ModelConfig.from_reference_dict(arch, ckpt.get("config", {}))
+        cfg = Config(model=mc)
+    model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+    params = state_dict_to_params(ckpt["model_state_dict"])
+    return cfg, model, _as_jnp(params)

@@ -31,6 +31,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from audio_denoising_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     from audio_denoising_tpu.config import Config, DSPConfig, ModelConfig, ServingConfig
     from audio_denoising_tpu.models import build_model
     from audio_denoising_tpu.pipeline import make_server_step

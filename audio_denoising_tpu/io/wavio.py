@@ -21,12 +21,21 @@ def pcm_to_float32(samples: np.ndarray) -> np.ndarray:
         return samples
     if samples.dtype == np.float64:
         return samples.astype(np.float32)
+    if samples.dtype == np.int16:
+        from audio_denoising_tpu.io import native
+        out = native.pcm16_to_f32(samples)
+        if out is not None:
+            return out
     scale = _PCM_SCALE[samples.dtype.itemsize]
     return samples.astype(np.float32) / scale
 
 
 def float32_to_pcm16(samples: np.ndarray) -> np.ndarray:
     """float in [-1, 1] -> int16, with clipping (app2.py:246-247)."""
+    from audio_denoising_tpu.io import native
+    out = native.f32_to_pcm16(samples)
+    if out is not None:
+        return out
     clipped = np.clip(samples, -1.0, 1.0)
     return (clipped * 32767.0).astype(np.int16)
 

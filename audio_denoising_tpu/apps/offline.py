@@ -14,7 +14,8 @@ from audio_denoising_tpu.config import Config
 from audio_denoising_tpu.hub import load_pretrained
 from audio_denoising_tpu.io.wavio import read_wav, write_wav
 from audio_denoising_tpu.ops.resample import resample
-from audio_denoising_tpu.pipeline import offline_denoise
+from audio_denoising_tpu.pipeline import (
+    offline_denoise, offline_denoise_stateless)
 
 
 _JIT_CACHE = {}
@@ -38,7 +39,11 @@ def _jitted_chain(cfg: Config, model, sample_rate: int):
                     x = resample(x[None], sample_rate, cfg.dsp.sample_rate)[0]
                 peak = jnp.max(jnp.abs(x))
                 scale = jnp.where(peak > 1e-8, peak, 1.0)
-                y = offline_denoise(cfg, model, params, x / scale)
+                if hasattr(model, "init_state"):      # recurrent family
+                    y = offline_denoise(cfg, model, params, x / scale)
+                else:                                 # stateless U-Nets
+                    y = offline_denoise_stateless(cfg, model, params,
+                                                  x / scale)
                 return y * scale
         _JIT_CACHE[key] = jax.jit(chain)
     return _JIT_CACHE[key]

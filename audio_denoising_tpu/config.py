@@ -192,6 +192,14 @@ PRESETS: Dict[str, Config] = {
         model=ModelConfig(arch="GRUUNet2"),
         serving=ServingConfig(state_decay=0.9, output_gain=3.0, chunk_samples=512),
     ),
+    # Stateless magnitude U-Net (unet4) on the raw-spectrogram front-end:
+    # BINS=241 = 480/2+1, win 10 ms, hop 384 (utils.py:32-37, unet4.py:32).
+    # The reference ships no UNet checkpoint — train via the training CLI.
+    "unet4-raw480": Config(
+        dsp=DSPConfig(n_fft=480, hop_length=384, n_mels=241, domain="raw",
+                      reconstruction="phase"),
+        model=ModelConfig(arch="UNet2d4"),
+    ),
     "momo3-4d4ea0": Config(
         dsp=DSPConfig(n_fft=1024, hop_length=512, n_mels=22, domain="mel",
                       reconstruction="phase"),

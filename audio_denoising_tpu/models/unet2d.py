@@ -198,3 +198,42 @@ class UNet2d:
 
     def __call__(self, params, x):
         return self.apply(params, x)
+
+    # ---- shape compatibility ------------------------------------------------
+    def _round_trip(self, bins: int, t: int):
+        """Simulate encoder/decoder spatial sizes; returns final (bins', t')
+        or None if a decoder level mismatches its skip (concat would fail).
+        The reference uses FIXED output_paddings chosen at construction
+        (unet4.py:211-230), so only specific frame counts are valid."""
+        sizes = [(bins, t)]
+        for (_n, _ci, _co, k, s, _norm) in self.spec["downs"]:
+            kh, kw = _pair(k)
+            sh, sw = _pair(s)
+            h, w = sizes[-1]
+            sizes.append(((h + 2 - kh) // sh + 1, (w + 2 - kw) // sw + 1))
+        h, w = sizes[-1]
+        n_down = len(self.spec["downs"])
+        for i, (_n, _ci, _co, k, s, op) in enumerate(self.spec["ups"]):
+            kh, kw = _pair(k)
+            sh, sw = _pair(s)
+            oph, opw = _pair(op)
+            h = (h - 1) * sh - 2 + kh + oph
+            w = (w - 1) * sw - 2 + kw + opw
+            skip = sizes[n_down - 1 - i]
+            if (h, w) != skip:
+                return None
+        _n, _ci, k, s, op = self.spec["final"]
+        kh, kw = _pair(k)
+        sh, sw = _pair(s)
+        oph, opw = _pair(op)
+        return ((h - 1) * sh - 2 + kh + oph, (w - 1) * sw - 2 + kw + opw)
+
+    def compatible_frames(self, t: int, max_extra: int = 512) -> int:
+        """Smallest t' >= t the network accepts with output t'' >= t
+        (pad the spectrogram to t', crop the output back)."""
+        for t2 in range(t, t + max_extra):
+            rt = self._round_trip(self.bins, t2)
+            if rt is not None and rt[0] >= self.bins and rt[1] >= t:
+                return t2
+        raise ValueError(f"no compatible frame count near {t} "
+                         f"for {self.arch}")

@@ -81,6 +81,42 @@ def offline_denoise(cfg: Config, model, params, audio: jnp.ndarray,
     return out[0] if squeeze else out
 
 
+def offline_denoise_stateless(cfg: Config, model, params,
+                              audio: jnp.ndarray) -> jnp.ndarray:
+    """Offline denoise through a stateless 2D U-Net (unet4 family).
+
+    The raw-spectrogram domain of the 'clamped raw-spectrogram' era
+    (BINS=241, n_fft=480 — reference utils.py:32-37, unet4.py:32):
+    STFT -> log1p magnitude -> model residual over the whole (freq, time)
+    image -> subtract -> expm1 -> noisy-phase iSTFT. The U-Net only accepts
+    specific frame counts (fixed output_paddings, unet4.py:211-230), so the
+    spectrogram pads to ``model.compatible_frames`` and the output crops
+    back.
+    """
+    dsp = cfg.dsp
+    squeeze = audio.ndim == 1
+    if squeeze:
+        audio = audio[None]
+    length = audio.shape[-1]
+    win = hann_window(dsp.win)
+
+    spec = stft(audio, dsp.n_fft, dsp.hop_length, dsp.win, window=win)
+    mag = jnp.abs(spec)
+    phase = jnp.angle(spec)
+    logmag = jnp.log1p(mag)                               # (B, F, T)
+
+    t = logmag.shape[-1]
+    t_pad = model.compatible_frames(t)
+    x = jnp.pad(logmag, ((0, 0), (0, 0), (0, t_pad - t)))
+    resid = model.apply(params, x)[..., :dsp.n_stft, :t]
+    recon = jnp.maximum(logmag - resid, 0.0)
+    lin = jnp.expm1(recon)
+    rec = lin * jnp.exp(1j * phase)
+    out = istft(rec, dsp.n_fft, dsp.hop_length, dsp.win, window=win,
+                length=length)
+    return out[0] if squeeze else out
+
+
 def jit_offline_denoiser(cfg: Config, model):
     """Returns a jitted ``fn(params, audio) -> audio``; retraces only per
     distinct audio length (pad/bucket upstream for serving)."""

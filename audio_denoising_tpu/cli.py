@@ -61,6 +61,7 @@ COMMANDS = {
     "engine": "audio_denoising_tpu.apps.engine_serve",
     "train": "audio_denoising_tpu.apps.trainer",
     "loopback": "audio_denoising_tpu.apps.loopback",
+    "profile": "audio_denoising_tpu.apps.profile_app",
 }
 
 

@@ -166,6 +166,64 @@ def plan_cell(plan: CellPlan, x_t: jnp.ndarray,
     return h, hi
 
 
+def plan_apply_parallel(plan: CellPlan, x: jnp.ndarray, hx: jnp.ndarray,
+                        vpu_gate: bool = False):
+    """Sequence mode with the recurrence minimized.
+
+    The GRUUNet cell's encoder depends only on x_t and its decoder only on
+    (hi_t, skips_t) — neither is part of the recurrence. So:
+
+    1. encoder: ONE batched matmul chain over all (B*T) frames;
+    2. scan over T carrying hx: GRU gating only (one tiny reset-gate
+       matmul + elementwise) — the narrowest possible sequential core;
+    3. decoder: ONE batched matmul chain over all (B*T) frames.
+
+    vs. scanning the whole cell: 9 sequential matmuls per frame become 1
+    (or 0 MXU ops with ``vpu_gate``, which evaluates the 68x204 reset-gate
+    product as a VPU broadcast-sum — profitable on backends with a flat
+    per-scan-step MXU latency; see BENCHMARKS note in bench.py).
+    """
+    B, T, F = x.shape
+    n = plan.hidden * plan.compressed
+    flat = x.reshape(B * T, F)
+
+    skips = [flat]
+    h = flat
+    for m, b in zip(plan.down_mats, plan.down_biases):
+        h = jax.nn.relu(h @ m + b)
+        skips.append(h)
+    gate_x_all = h.reshape(B, T, -1)
+
+    R, rb = plan.reset_mat, plan.reset_bias
+
+    def gate_step(carry, gx):
+        if vpu_gate:
+            rh = jnp.sum(carry[:, :, None] * R[None, :, :], axis=1) + rb
+        else:
+            rh = carry @ R + rb
+        gh = jax.nn.relu(rh)
+        i_r, i_i, i_n = gx[:, :n], gx[:, n:2 * n], gx[:, 2 * n:]
+        h_r, h_i, h_n = gh[:, :n], gh[:, n:2 * n], gh[:, 2 * n:]
+        inputgate = jax.nn.sigmoid(i_i + h_i)
+        resetgate = jax.nn.sigmoid(i_r + h_r)
+        newgate = jnp.tanh(i_n + resetgate * h_n)
+        hi = newgate + inputgate * (carry - newgate)
+        return hi, hi
+
+    hx, his = jax.lax.scan(gate_step, hx, jnp.swapaxes(gate_x_all, 0, 1))
+    his = jnp.swapaxes(his, 0, 1).reshape(B * T, n)     # (B*T, n)
+
+    L = len(plan.up_h_mats)
+    ups_in = skips[:-1]
+    h = his
+    for i in range(L):
+        out = h @ plan.up_h_mats[i] + plan.up_biases[i]
+        if plan.up_s_mats[i] is not None:
+            out = out + ups_in[L - i] @ plan.up_s_mats[i]
+        h = jax.nn.relu(out) if i != L - 1 else out
+    return h.reshape(B, T, -1), hx
+
+
 class PlanModel:
     """Drop-in model adapter: same interface as the zoo models
     (init_state / cell / apply) but executing the matrixized plan.
@@ -195,21 +253,19 @@ class PlanModel:
 
     def apply(self, params, x: jnp.ndarray, hx: Optional[jnp.ndarray] = None):
         """x: (B, T, F) -> (y, hx'); params argument ignored (baked into
-        the plan) — kept for interface compatibility."""
+        the plan) — kept for interface compatibility. Sequences run with
+        the encoder/decoder lifted out of the scan (plan_apply_parallel);
+        single frames go through the (possibly Pallas-fused) cell."""
         if x.ndim == 2:
             x = x[None]
         if hx is None:
             hx = self.init_state(x.shape[0], x.dtype)
         if hx.ndim == 3:                     # accept model-layout state
             hx = hx.reshape(hx.shape[0], -1)
-        xt = jnp.swapaxes(x, 0, 1)
-
-        def step(carry, x_t):
-            y, carry = self._cell(x_t, carry)
-            return carry, y
-
-        hx, ys = jax.lax.scan(step, hx, xt)
-        return jnp.swapaxes(ys, 0, 1), hx
+        if x.shape[1] == 1:
+            y, hx = self._cell(x[:, 0], hx)
+            return y[:, None], hx
+        return plan_apply_parallel(self.plan, x, hx)
 
     def __call__(self, params, x, hx=None):
         return self.apply(params, x, hx)

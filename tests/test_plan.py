@@ -81,6 +81,24 @@ class TestPlanParity:
         np.testing.assert_allclose(np.asarray(h0).reshape(3, -1),
                                    np.asarray(h1), atol=1e-4)
 
+    @pytest.mark.parametrize("vpu_gate", [False, True])
+    def test_parallel_apply_matches_scanned_cell(self, model_and_params,
+                                                 rng, vpu_gate):
+        """Encoder/decoder-lifted sequence mode == frame-by-frame cell."""
+        from audio_denoising_tpu.runtime.plan import plan_apply_parallel
+        model, params = model_and_params
+        plan = build_cell_plan(model, params)
+        x = jnp.asarray(rng.standard_normal((2, 9, 64)), jnp.float32)
+        hx = jnp.asarray(0.1 * rng.standard_normal((2, 68)), jnp.float32)
+        ys, h = [], hx
+        for t in range(9):
+            y, h = plan_cell(plan, x[:, t], h)
+            ys.append(y)
+        y0 = jnp.stack(ys, axis=1)
+        y1, h1 = plan_apply_parallel(plan, x, hx, vpu_gate=vpu_gate)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(h1), atol=1e-4)
+
 
 class TestFusedKernel:
     def test_interpret_matches_plan(self, model_and_params, rng):

@@ -39,9 +39,23 @@ def main(argv=None) -> int:
     p.add_argument("--resume", default=None, help="checkpoint to resume from")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all devices")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--crop-samples", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
     args = p.parse_args(argv)
 
+    import dataclasses
     cfg: Config = PRESETS[args.preset]
+    overrides = {}
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.crop_samples:
+        overrides["crop_samples"] = args.crop_samples
+    if args.lr:
+        overrides["learning_rate"] = args.lr
+    if overrides:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, **overrides))
     model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
     if args.resume:
         ctx = TrainingContext.load(args.resume, cfg, model)

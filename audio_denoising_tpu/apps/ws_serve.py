@@ -1,0 +1,198 @@
+"""WebSocket real-time denoising daemon — the browser-mic entry point
+(replaces the reference's streamlit-webrtc UI, app2.py:479-492, with a
+dependency-free server a web page can talk to directly).
+
+Protocol per connection (one connection == one stream):
+
+- client sends BINARY frames of int16 little-endian mono PCM at the
+  model's sample rate, any chunk size (a host-side re-chunker carries
+  residue to the engine hop size);
+- server replies with BINARY int16 frames of denoised audio, same total
+  length (hop-quantized; the residue flushes with the next chunk);
+- TEXT frame "stats" returns a JSON stats message; close frame ends.
+
+All connections multiplex onto ONE batched StreamEngine: every tick
+advances every active stream in a single jitted launch.
+"""
+
+import argparse
+import json
+import queue
+import socket
+import threading
+import time
+import uuid
+
+import numpy as np
+
+from audio_denoising_tpu.hub import load_pretrained
+from audio_denoising_tpu.io import websocket as ws
+from audio_denoising_tpu.io.wavio import float32_to_pcm16, pcm_to_float32
+from audio_denoising_tpu.runtime.engine import StreamEngine
+from audio_denoising_tpu.runtime.metrics import ServingMetrics
+
+
+class _PyChunker:
+    """Residue-carry fallback when the native ring is unavailable."""
+
+    def __init__(self, chunk_size: int):
+        self.chunk_size = chunk_size
+        self._buf = np.zeros(0, np.float32)
+
+    def push(self, samples: np.ndarray) -> int:
+        self._buf = np.concatenate([self._buf, samples])
+        return len(self._buf) // self.chunk_size
+
+    def pop(self):
+        if len(self._buf) < self.chunk_size:
+            return None
+        out, self._buf = (self._buf[:self.chunk_size],
+                          self._buf[self.chunk_size:])
+        return out
+
+
+def _make_chunker(hop: int):
+    try:
+        from audio_denoising_tpu.io.native import NativeChunker, native_available
+        if native_available():
+            return NativeChunker(hop)
+    except Exception:
+        pass
+    return _PyChunker(hop)
+
+
+class WSDaemon:
+    def __init__(self, spec: str = "gruunet2-good", host: str = "localhost",
+                 port: int = 8765, max_streams: int = 256,
+                 mode: str = "fast", tick_ms: float = 1.0):
+        self.cfg, self.model, self.params = load_pretrained(spec)
+        self.engine = StreamEngine(self.cfg, self.model, self.params,
+                                   mode=mode, max_streams=max_streams)
+        self.addr = (host, port)
+        self.hop = self.cfg.dsp.hop_length
+        self.tick_s = tick_ms / 1e3
+        self.metrics = ServingMetrics()
+        self._req: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._srv: socket.socket = None
+
+    # -- batching tick (one engine launch per round) ------------------------------
+    def _tick_loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._req.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            pending = [first]
+            deadline = time.perf_counter() + self.tick_s
+            while time.perf_counter() < deadline:
+                try:
+                    pending.append(self._req.get_nowait())
+                except queue.Empty:
+                    time.sleep(self.tick_s / 10)
+            while pending:
+                batch, sinks, rest = {}, {}, []
+                for sid, chunk, sink in pending:
+                    if sid in batch:
+                        rest.append((sid, chunk, sink))
+                    else:
+                        batch[sid], sinks[sid] = chunk, sink
+                with self.metrics.timer("tick"):
+                    with self._lock:
+                        live = {s: c for s, c in batch.items()
+                                if s in self.engine.slots}
+                        outs = self.engine.process(live) if live else {}
+                for sid, out in outs.items():
+                    sinks[sid](out)
+                self.metrics.count("hops", len(outs))
+                pending = rest
+
+    # -- per-connection ------------------------------------------------------
+    def _handle(self, conn: socket.socket):
+        sid = uuid.uuid4().hex
+        try:
+            if ws.handshake(conn) is None:
+                return
+            with self._lock:
+                self.engine.add_stream(sid)
+            out_q: "queue.Queue[np.ndarray]" = queue.Queue()
+
+            def sink(hop_out: np.ndarray):
+                out_q.put(hop_out)
+
+            def sender():
+                while not self._stop.is_set():
+                    try:
+                        out = out_q.get(timeout=0.25)
+                    except queue.Empty:
+                        continue
+                    try:
+                        ws.send_frame(conn, float32_to_pcm16(out).tobytes())
+                    except OSError:
+                        return
+
+            threading.Thread(target=sender, daemon=True).start()
+            chunker = _make_chunker(self.hop)
+            while not self._stop.is_set():
+                op, payload = ws.recv_message(conn)
+                if op == ws.OP_CLOSE:
+                    break
+                if op == ws.OP_TEXT:
+                    if payload.strip() == b"stats":
+                        ws.send_frame(conn, json.dumps({
+                            "active_streams": self.engine.active_streams,
+                            **self.metrics.summary()}).encode(), ws.OP_TEXT)
+                    continue
+                pcm = np.frombuffer(payload, np.int16)
+                chunker.push(pcm_to_float32(pcm))
+                while (c := chunker.pop()) is not None:
+                    self._req.put((sid, c, sink))
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            with self._lock:
+                if sid in self.engine.slots:
+                    self.engine.remove_stream(sid)
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def serve_forever(self):
+        threading.Thread(target=self._tick_loop, daemon=True).start()
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(self.addr)
+        srv.listen(64)
+        srv.settimeout(0.5)
+        self._srv = srv
+        print(f"websocket denoiser on ws://{self.addr[0]}:{self.addr[1]} "
+              f"(hop {self.hop} @ {self.cfg.dsp.sample_rate} Hz, "
+              f"max {self.engine.n} streams)", flush=True)
+        try:
+            while not self._stop.is_set():
+                try:
+                    conn, _ = srv.accept()
+                except socket.timeout:
+                    continue
+                threading.Thread(target=self._handle, args=(conn,),
+                                 daemon=True).start()
+        finally:
+            srv.close()
+
+    def stop(self):
+        self._stop.set()
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="audio_denoising_tpu ws")
+    p.add_argument("--model", default="gruunet2-good")
+    p.add_argument("--host", default="localhost")
+    p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--max-streams", type=int, default=256)
+    p.add_argument("--mode", choices=["fast", "webrtc"], default="fast")
+    args = p.parse_args(argv)
+    WSDaemon(args.model, args.host, args.port, args.max_streams,
+             args.mode).serve_forever()
+    return 0

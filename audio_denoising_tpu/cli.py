@@ -62,6 +62,7 @@ COMMANDS = {
     "train": "audio_denoising_tpu.apps.trainer",
     "loopback": "audio_denoising_tpu.apps.loopback",
     "profile": "audio_denoising_tpu.apps.profile_app",
+    "ws": "audio_denoising_tpu.apps.ws_serve",
 }
 
 

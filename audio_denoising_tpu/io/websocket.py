@@ -1,0 +1,123 @@
+"""Minimal RFC 6455 WebSocket server-side protocol (stdlib only).
+
+The reference's browser-mic entry point rides streamlit-webrtc/aiortc
+(app2.py:479-492); neither exists here, and the capability it provides —
+push mic chunks from a browser, get denoised chunks back — needs only a
+WebSocket. This module implements the server side of the protocol
+(HTTP upgrade handshake, frame encode/decode with client masking, ping/
+pong/close) so the serving daemon has zero dependencies.
+"""
+
+import base64
+import hashlib
+import socket
+import struct
+from typing import Optional, Tuple
+
+_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+OP_CONT, OP_TEXT, OP_BINARY, OP_CLOSE, OP_PING, OP_PONG = \
+    0x0, 0x1, 0x2, 0x8, 0x9, 0xA
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        part = sock.recv(n - len(buf))
+        if not part:
+            raise ConnectionError("socket closed")
+        buf += part
+    return buf
+
+
+def handshake(sock: socket.socket) -> Optional[str]:
+    """Perform the server side of the HTTP->WS upgrade. Returns the request
+    path, or None if the request is not a websocket upgrade."""
+    data = b""
+    while b"\r\n\r\n" not in data:
+        part = sock.recv(4096)
+        if not part:
+            return None
+        data += part
+        if len(data) > 65536:
+            return None
+    head = data.split(b"\r\n\r\n", 1)[0].decode("latin-1")
+    lines = head.split("\r\n")
+    path = lines[0].split(" ")[1] if len(lines[0].split(" ")) > 1 else "/"
+    headers = {}
+    for line in lines[1:]:
+        if ":" in line:
+            k, v = line.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+    key = headers.get("sec-websocket-key")
+    if key is None or "upgrade" not in headers.get("connection", "").lower():
+        sock.sendall(b"HTTP/1.1 400 Bad Request\r\n\r\n")
+        return None
+    accept = base64.b64encode(
+        hashlib.sha1((key + _GUID).encode()).digest()).decode()
+    sock.sendall((
+        "HTTP/1.1 101 Switching Protocols\r\n"
+        "Upgrade: websocket\r\n"
+        "Connection: Upgrade\r\n"
+        f"Sec-WebSocket-Accept: {accept}\r\n\r\n").encode())
+    return path
+
+
+def send_frame(sock: socket.socket, payload: bytes,
+               opcode: int = OP_BINARY) -> None:
+    """Server frames are unmasked (RFC 6455 §5.1)."""
+    n = len(payload)
+    header = bytes([0x80 | opcode])
+    if n < 126:
+        header += bytes([n])
+    elif n < (1 << 16):
+        header += bytes([126]) + struct.pack(">H", n)
+    else:
+        header += bytes([127]) + struct.pack(">Q", n)
+    sock.sendall(header + payload)
+
+
+def recv_frame(sock: socket.socket) -> Tuple[bool, int, bytes]:
+    """-> (fin, opcode, payload); handles masking and 16/64-bit lengths."""
+    b0, b1 = _recv_exact(sock, 2)
+    fin = bool(b0 & 0x80)
+    opcode = b0 & 0x0F
+    masked = b1 & 0x80
+    n = b1 & 0x7F
+    if n == 126:
+        n = struct.unpack(">H", _recv_exact(sock, 2))[0]
+    elif n == 127:
+        n = struct.unpack(">Q", _recv_exact(sock, 8))[0]
+    mask = _recv_exact(sock, 4) if masked else None
+    payload = _recv_exact(sock, n) if n else b""
+    if mask:
+        data = bytearray(payload)
+        for i in range(len(data)):
+            data[i] ^= mask[i % 4]
+        payload = bytes(data)
+    return fin, opcode, payload
+
+
+def recv_message(sock: socket.socket) -> Tuple[int, bytes]:
+    """Reassemble fragments; answers pings transparently. Returns
+    (OP_TEXT|OP_BINARY|OP_CLOSE, payload)."""
+    opcode = None
+    buf = b""
+    while True:
+        fin, op, payload = recv_frame(sock)
+        if op == OP_PING:
+            send_frame(sock, payload, OP_PONG)
+            continue
+        if op == OP_PONG:
+            continue
+        if op == OP_CLOSE:
+            return OP_CLOSE, payload
+        if op in (OP_TEXT, OP_BINARY):
+            opcode = op
+            buf = payload
+        elif op == OP_CONT:
+            buf += payload
+        else:
+            raise ConnectionError(f"unexpected opcode {op}")
+        if fin:
+            return opcode, buf

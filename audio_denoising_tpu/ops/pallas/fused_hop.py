@@ -1,0 +1,218 @@
+"""The ENTIRE serving hop as one Pallas TPU kernel.
+
+Fuses the fast-path step (runtime/engine.make_fast_step semantics:
+single-frame analysis, mel log1p, GRUUNet residual cell, inverse mel,
+noisy-phase reuse, WOLA synthesis) into a single kernel launch:
+
+- DFT/iDFT are matmuls against precomputed real cos/sin matrices (the MXU
+  does a 640-point transform for 256 streams in ~2 us; rfft is unavailable
+  inside Pallas and would be slower at this size anyway);
+- phase reuse needs no trigonometry: reconstruction scales the complex
+  bins by (new_mag / old_mag);
+- the model runs as the matrixized plan (runtime/plan.py);
+- all weights (~8 MB fp32: DFT matrices, mel pair, plan) are VMEM-resident
+  operands with constant index maps; the grid tiles the stream batch.
+
+Per hop the chip touches HBM once for (chunk, ring, ola, hx) in and
+(out, ring', ola', hx') out — the op-by-op graph's ~40 intermediate HBM
+round trips (and, on dispatch-latency-bound backends, its ~40 op syncs)
+collapse into one kernel.
+
+Semantics follow engine.make_fast_step exactly; parity is tested in
+tests/test_fused_hop.py (CPU interpret mode) and on-chip.
+"""
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from audio_denoising_tpu.config import Config
+from audio_denoising_tpu.ops import hann_window, mel_filterbank, inverse_mel_matrix
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _dft_matrices(n_fft: int):
+    """(CF, SF) forward (n_fft, F) and (IC, IS) inverse (F, n_fft) real
+    DFT matrices such that rfft(x) = x@CF + i.x@SF and
+    irfft(R + i.I) = R@IC + I@IS."""
+    F = n_fft // 2 + 1
+    k = np.arange(F)
+    n = np.arange(n_fft)
+    ang = 2 * np.pi * np.outer(k, n) / n_fft
+    CF = np.cos(ang).T.astype(np.float32)          # cos(-a) = cos(a)
+    SF = (-np.sin(ang)).T.astype(np.float32)       # sin(-a)
+    w = np.ones(F, np.float32)
+    w[1:-1] = 2.0
+    IC = (w[:, None] * np.cos(ang) / n_fft).astype(np.float32)
+    IS = (-w[:, None] * np.sin(ang) / n_fft).astype(np.float32)
+    return CF, SF, IC, IS
+
+
+class FusedHopState(NamedTuple):
+    ring: jnp.ndarray   # (B, n_fft)
+    ola: jnp.ndarray    # (B, n_fft)
+    hx: jnp.ndarray     # (B, hidden*compressed)
+
+
+def fused_hop_init_state(cfg: Config, plan, batch: int) -> FusedHopState:
+    n_fft = cfg.dsp.n_fft
+    return FusedHopState(
+        ring=jnp.zeros((batch, n_fft), jnp.float32),
+        ola=jnp.zeros((batch, n_fft), jnp.float32),
+        hx=jnp.zeros((batch, plan.hidden * plan.compressed), jnp.float32))
+
+
+def make_fused_hop(cfg: Config, plan, interpret: bool = False,
+                   block_b: int = 128):
+    """-> ``step(state: FusedHopState, chunk (B, hop)) ->
+    (state', out (B, hop))`` — one pallas_call per hop."""
+    dsp = cfg.dsp
+    srv = cfg.serving
+    n_fft, hop, F, M = dsp.n_fft, dsp.hop_length, dsp.n_stft, dsp.n_mels
+    assert n_fft % hop == 0, "fast path expects hop | n_fft (WOLA)"
+    L = len(plan.down_mats)
+    n = plan.hidden * plan.compressed
+
+    win = np.asarray(hann_window(n_fft))
+    CF, SF, IC, IS = _dft_matrices(n_fft)
+    mel = np.asarray(mel_filterbank(F, M, dsp.sample_rate))     # (F, M)
+    imel = np.asarray(inverse_mel_matrix(F, M, dsp.sample_rate)).T  # (M, F)
+
+    overlap = n_fft // hop
+    env = np.zeros(n_fft, np.float32)
+    for k in range(overlap):
+        env += np.roll(win * win, k * hop)
+    env_hop = np.where(env[:hop] > 1e-8, env[:hop], 1.0).astype(np.float32)
+
+    # Constant operands, all 2-D. Window/env as (1, n) rows.
+    consts = [CF, SF, IC, IS, mel, imel,
+              win[None, :].astype(np.float32), env_hop[None, :]]
+    weights = []
+    skip_flags = []
+    for m_, b_ in zip(plan.down_mats, plan.down_biases):
+        weights += [m_, b_[None, :]]
+    weights += [plan.reset_mat, plan.reset_bias[None, :]]
+    for i in range(L):
+        weights += [plan.up_h_mats[i], plan.up_biases[i][None, :]]
+        if plan.up_s_mats[i] is not None:
+            weights.append(plan.up_s_mats[i])
+            skip_flags.append(True)
+        else:
+            skip_flags.append(False)
+    operands = [jnp.asarray(c) for c in consts] + \
+               [jnp.asarray(w) for w in weights]
+    n_consts = len(consts)
+
+    def kernel(ring_ref, ola_ref, hx_ref, chunk_ref, *refs):
+        (ring_o, ola_o, hx_o, out_o) = refs[-4:]
+        cs = refs[:n_consts]
+        w = list(refs[n_consts:-4])
+        cf, sf, ic, is_, melr, imelr, win_r, env_r = cs
+
+        def dot(a, b):
+            # b may be a VMEM Ref (weights) or an array; [:] reads either
+            return jnp.dot(a, b[:], preferred_element_type=jnp.float32)
+
+        # 1. ring shift-in
+        ring = jnp.concatenate([ring_ref[:, hop:], chunk_ref[:]], axis=-1)
+        ring_o[:] = ring
+
+        # 2-3. windowed forward DFT
+        frame = ring * win_r[0]
+        re = dot(frame, cf)
+        im = dot(frame, sf)
+        mag = jnp.sqrt(re * re + im * im)
+
+        # 4-5. mel log1p
+        x = jnp.log1p(dot(mag, melr))                     # (b, M)
+
+        # 6. plan cell
+        wi = 0
+        h = x
+        skips = [h]
+        for i in range(L):
+            h = jnp.maximum(dot(h, w[wi]) + w[wi + 1][0], 0.0)
+            wi += 2
+            skips.append(h)
+        gate_x = h
+        hx = hx_ref[:]
+        gate_h = jnp.maximum(dot(hx, w[wi]) + w[wi + 1][0], 0.0)
+        wi += 2
+        i_r, i_i, i_n = (gate_x[:, :n], gate_x[:, n:2 * n], gate_x[:, 2 * n:])
+        h_r, h_i, h_n = (gate_h[:, :n], gate_h[:, n:2 * n], gate_h[:, 2 * n:])
+        inputgate = jax.nn.sigmoid(i_i + h_i)
+        resetgate = jax.nn.sigmoid(i_r + h_r)
+        newgate = jnp.tanh(i_n + resetgate * h_n)
+        hi = newgate + inputgate * (hx - newgate)
+        hx_o[:] = hi * srv.state_decay
+        h = hi
+        for i in range(L):
+            out = dot(h, w[wi]) + w[wi + 1][0]
+            wi += 2
+            if skip_flags[i]:
+                out = out + dot(skips[L - i], w[wi])
+                wi += 1
+            h = jnp.maximum(out, 0.0) if i != L - 1 else out
+        resid = h                                             # (b, M)
+
+        # 7. residual subtract, expm1, inverse mel, gain
+        rec = x - resid
+        rec = jnp.where(rec >= 0, rec, 0.2 * rec)             # leaky_relu 0.2
+        mel_mag = jnp.maximum(jnp.expm1(rec), 0.0)
+        lin = dot(mel_mag, imelr) * srv.output_gain        # (b, F)
+
+        # 8. noisy-phase reuse without trig: scale complex bins
+        scale = lin / jnp.maximum(mag, 1e-8)
+        rec_re = re * scale
+        rec_im = im * scale
+
+        # 9. inverse DFT + synthesis window
+        synth = (dot(rec_re, ic) + dot(rec_im, is_)) * win_r[0]
+
+        # 10. WOLA
+        acc = ola_ref[:] + synth
+        out_o[:] = acc[:, :hop] / env_r[0]
+        ola_o[:] = jnp.concatenate(
+            [acc[:, hop:], jnp.zeros_like(acc[:, :hop])], axis=-1)
+
+    def step(state: FusedHopState,
+             chunk: jnp.ndarray) -> Tuple[FusedHopState, jnp.ndarray]:
+        b = chunk.shape[0]
+        bp = _round_up(b, block_b)
+        ring, ola, hx = state
+        if bp != b:
+            pad = lambda a: jnp.pad(a, ((0, bp - b), (0, 0)))
+            ring, ola, hx, chunk = pad(ring), pad(ola), pad(hx), pad(chunk)
+        grid = (bp // block_b,)
+        bspec = lambda width: pl.BlockSpec(
+            (block_b, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        const_specs = [pl.BlockSpec(op.shape, lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+                       for op in operands]
+        ring2, ola2, hx2, out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[bspec(n_fft), bspec(n_fft), bspec(hx.shape[1]),
+                      bspec(hop)] + const_specs,
+            out_specs=(bspec(n_fft), bspec(n_fft), bspec(hx.shape[1]),
+                       bspec(hop)),
+            out_shape=(
+                jax.ShapeDtypeStruct((bp, n_fft), jnp.float32),
+                jax.ShapeDtypeStruct((bp, n_fft), jnp.float32),
+                jax.ShapeDtypeStruct((bp, hx.shape[1]), jnp.float32),
+                jax.ShapeDtypeStruct((bp, hop), jnp.float32),
+            ),
+            interpret=interpret,
+        )(ring, ola, hx, chunk, *operands)
+        if bp != b:
+            ring2, ola2, hx2, out = (ring2[:b], ola2[:b], hx2[:b], out[:b])
+        return FusedHopState(ring2, ola2, hx2), out
+
+    return step

@@ -169,3 +169,26 @@ class StreamEngine:
         (N, hop) in -> (N, hop) out."""
         self.state, out = self._step(self.params, self.state, batch)
         return out
+
+    # -- failure recovery (SURVEY §5: snapshot/restore of stream state) -----
+    def snapshot(self) -> Dict:
+        """Host-side copy of all per-stream state + the slot table. Cheap
+        (a few n_fft-sized buffers per stream); take periodically so a
+        crashed serving process can resume mid-stream."""
+        return {
+            "state": jax.tree.map(lambda x: np.asarray(x), self.state),
+            "slots": dict(self.slots),
+            "free": list(self._free),
+            "mode": self.mode,
+        }
+
+    def restore(self, snap: Dict) -> None:
+        if snap["mode"] != self.mode:
+            raise ValueError(f"snapshot mode {snap['mode']!r} != engine "
+                             f"mode {self.mode!r}")
+        state = jax.tree.map(jnp.asarray, snap["state"])
+        if jax.tree.structure(state) != jax.tree.structure(self.state):
+            raise ValueError("snapshot state layout mismatch")
+        self.state = state
+        self.slots = dict(snap["slots"])
+        self._free = list(snap["free"])

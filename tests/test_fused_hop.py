@@ -1,0 +1,76 @@
+"""One-kernel fused serving hop vs the op-by-op fast step (CPU interpret
+mode; the same kernel compiles on TPU)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from audio_denoising_tpu.config import Config, DSPConfig, ModelConfig, ServingConfig
+from audio_denoising_tpu.models import build_model
+from audio_denoising_tpu.ops.pallas.fused_hop import (
+    FusedHopState, fused_hop_init_state, make_fused_hop)
+from audio_denoising_tpu.runtime.engine import fast_init_state, make_fast_step
+from audio_denoising_tpu.runtime.plan import build_cell_plan
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(
+        dsp=DSPConfig(sample_rate=16000, n_fft=640, hop_length=320,
+                      n_mels=64, reconstruction="phase"),
+        model=ModelConfig(arch="GRUUNet2"),
+        serving=ServingConfig(state_decay=0.9, output_gain=3.0))
+    model = build_model(cfg.model, num_bins=64)
+    from audio_denoising_tpu.compat.npz_store import load_params_npz
+    raw, _ = load_params_npz(os.path.join(REPO, "checkpoints",
+                                          "gruunet2-good.npz"))
+    params = {k: jnp.asarray(v) for k, v in raw.items()}
+    plan = build_cell_plan(model, params)
+    return cfg, model, params, plan
+
+
+class TestFusedHop:
+    def test_matches_fast_step(self, setup, rng):
+        cfg, model, params, plan = setup
+        B, hop = 4, cfg.dsp.hop_length
+        fast = make_fast_step(cfg, model)
+        fused = make_fused_hop(cfg, plan, interpret=True)
+
+        s0 = fast_init_state(cfg, model, B)
+        s1 = fused_hop_init_state(cfg, plan, B)
+        for t in range(5):
+            chunk = jnp.asarray(0.1 * rng.standard_normal((B, hop)),
+                                jnp.float32)
+            s0, out0 = fast(params, s0, chunk)
+            s1, out1 = fused(s1, chunk)
+            np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                                       atol=2e-4)
+            np.testing.assert_allclose(
+                np.asarray(s0.hx).reshape(B, -1), np.asarray(s1.hx),
+                atol=2e-5)
+
+    def test_batch_padding(self, setup, rng):
+        cfg, model, params, plan = setup
+        B, hop = 3, cfg.dsp.hop_length
+        fused = make_fused_hop(cfg, plan, interpret=True)
+        s = fused_hop_init_state(cfg, plan, B)
+        chunk = jnp.asarray(0.1 * rng.standard_normal((B, hop)), jnp.float32)
+        s, out = fused(s, chunk)
+        assert out.shape == (B, hop)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_dft_matrices(self, rng):
+        from audio_denoising_tpu.ops.pallas.fused_hop import _dft_matrices
+        N = 640
+        CF, SF, IC, IS = _dft_matrices(N)
+        x = rng.standard_normal(N).astype(np.float32)
+        X = np.fft.rfft(x)
+        np.testing.assert_allclose(x @ CF, X.real, atol=1e-2)
+        np.testing.assert_allclose(x @ SF, X.imag, atol=1e-2)
+        back = X.real.astype(np.float32) @ IC + X.imag.astype(np.float32) @ IS
+        np.testing.assert_allclose(back, x, atol=1e-5)

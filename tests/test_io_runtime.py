@@ -165,3 +165,52 @@ class TestMeshServing:
                                    atol=1e-5, rtol=1e-5)
         # output really is sharded over the mesh
         assert len(out.sharding.device_set) == 8
+
+
+class TestEngineSnapshot:
+    def test_snapshot_restore_resumes_stream(self, rng):
+        """Kill-and-restore: a new engine restored from a snapshot
+        continues streams bit-exactly (SURVEY §5 failure recovery)."""
+        import jax.numpy as jnp
+        from audio_denoising_tpu.config import PRESETS
+        from audio_denoising_tpu.models import build_model
+        from audio_denoising_tpu.compat.npz_store import load_params_npz
+        import os
+        here = os.path.dirname(os.path.abspath(__file__))
+        cfg = PRESETS["gruunet2-good"]
+        model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+        raw, _ = load_params_npz(os.path.join(here, "..", "checkpoints",
+                                              "gruunet2-good.npz"))
+        params = {k: jnp.asarray(v) for k, v in raw.items()}
+        from audio_denoising_tpu.runtime.engine import StreamEngine
+
+        eng = StreamEngine(cfg, model, params, max_streams=2)
+        eng.add_stream("a")
+        hop = cfg.dsp.hop_length
+        chunk = {"a": (0.1 * rng.standard_normal(hop)).astype(np.float32)}
+        eng.process(chunk)
+        snap = eng.snapshot()
+
+        # diverge the original, then bring up a fresh engine from snapshot
+        next_chunk = {"a": (0.1 * rng.standard_normal(hop))
+                      .astype(np.float32)}
+        out_orig = eng.process(next_chunk)
+
+        eng2 = StreamEngine(cfg, model, params, max_streams=2)
+        eng2.restore(snap)
+        out_restored = eng2.process(next_chunk)
+        np.testing.assert_array_equal(out_orig["a"], out_restored["a"])
+
+    def test_restore_rejects_mode_mismatch(self, rng):
+        import jax.numpy as jnp
+        from audio_denoising_tpu.config import PRESETS
+        from audio_denoising_tpu.models import build_model
+        cfg = PRESETS["gruunet2-good"]
+        model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+        params = model.init(jax.random.PRNGKey(0))
+        from audio_denoising_tpu.runtime.engine import StreamEngine
+        eng = StreamEngine(cfg, model, params, max_streams=1)
+        snap = eng.snapshot()
+        snap["mode"] = "webrtc"
+        with pytest.raises(ValueError):
+            eng.restore(snap)

@@ -10,8 +10,6 @@ cleanly everywhere and fails with a clear message only when run.
 """
 
 import argparse
-from typing import Optional
-
 import numpy as np
 
 

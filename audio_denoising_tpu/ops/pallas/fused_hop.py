@@ -117,8 +117,13 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         cf, sf, ic, is_, melr, imelr, win_r, env_r = cs
 
         def dot(a, b):
-            # b may be a VMEM Ref (weights) or an array; [:] reads either
-            return jnp.dot(a, b[:], preferred_element_type=jnp.float32)
+            # b may be a VMEM Ref (weights) or an array; [:] reads either.
+            # HIGHEST: the MXU's default bf16 passes lose ~1e-2 through the
+            # 640-point DFT; fp32 (3-pass) keeps the hop at ~1e-4 of the
+            # rfft-based op-by-op step, and these matmuls are latency- not
+            # throughput-bound here.
+            return jnp.dot(a, b[:], preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
 
         # 1. ring shift-in
         ring = jnp.concatenate([ring_ref[:, hop:], chunk_ref[:]], axis=-1)
@@ -130,8 +135,9 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         im = dot(frame, sf)
         mag = jnp.sqrt(re * re + im * im)
 
-        # 4-5. mel log1p
-        x = jnp.log1p(dot(mag, melr))                     # (b, M)
+        # 4-5. mel log1p (as log(1+x): log1p/expm1 lack Mosaic lowerings;
+        # mel magnitudes are O(1e-2..1e2), so the naive forms lose nothing)
+        x = jnp.log(1.0 + dot(mag, melr))                 # (b, M)
 
         # 6. plan cell
         wi = 0
@@ -165,7 +171,7 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         # 7. residual subtract, expm1, inverse mel, gain
         rec = x - resid
         rec = jnp.where(rec >= 0, rec, 0.2 * rec)             # leaky_relu 0.2
-        mel_mag = jnp.maximum(jnp.expm1(rec), 0.0)
+        mel_mag = jnp.maximum(jnp.exp(rec) - 1.0, 0.0)
         lin = dot(mel_mag, imelr) * srv.output_gain        # (b, F)
 
         # 8. noisy-phase reuse without trig: scale complex bins

@@ -17,9 +17,6 @@ Reference semantics: gruunet2.py:228-244 (via the probed plan, so padding/
 stride/output_padding behavior is inherited exactly).
 """
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -22,7 +22,7 @@ cross-thread hx races, SURVEY §5).
 """
 
 from functools import partial
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ State is a batched pytree; slots are admitted/evicted by index updates, and
 inactive slots simply compute on zeros (fixed shapes, no retracing).
 """
 
-from functools import partial
 from typing import Dict, NamedTuple, Optional
 
 import numpy as np
@@ -119,6 +118,16 @@ class StreamEngine:
             step = make_webrtc_step(cfg, model)
             self.state = webrtc_init_state(cfg, model, self.n)
             self._zero_one = webrtc_init_state(cfg, model, 1)
+        elif mode == "fused":
+            # one-kernel Pallas hop (GRUUNet family only); params baked in
+            from audio_denoising_tpu.ops.pallas.fused_hop import (
+                fused_hop_init_state, make_fused_hop)
+            from audio_denoising_tpu.runtime.plan import build_cell_plan
+            plan = build_cell_plan(model, params)
+            hop_step = make_fused_hop(cfg, plan)
+            step = lambda params, state, chunk: hop_step(state, chunk)
+            self.state = fused_hop_init_state(cfg, plan, self.n)
+            self._zero_one = fused_hop_init_state(cfg, plan, 1)
         else:
             raise ValueError(f"unknown engine mode {mode!r}")
 

@@ -21,7 +21,7 @@ CHECKPOINT into an affine plan:
 at 15k params the FLOPs are irrelevant and the MXU does dense at full rate.
 """
 
-from typing import List, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax

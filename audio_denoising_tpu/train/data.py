@@ -12,7 +12,7 @@ noise files are usable the sampler falls back to synthetic noise (white +
 brown mixture), which preserves the training contract's shape and scale.
 """
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -57,34 +57,60 @@ def main() -> None:
     except Exception:
         params = model.init(jax.random.PRNGKey(0))
 
-    step = make_server_step(cfg, model)
-
+    # Preferred: the one-kernel Pallas hop (ops/pallas/fused_hop.py) —
+    # the full analysis/model/synthesis chain per hop as a single kernel.
+    # Falls back to the op-by-op phase-reuse step on any failure.
     # K hops per dispatch: the serving engine batches hops on-device
     # (lax.scan over time), so host->device dispatch cost amortizes to
     # zero — per-hop time is what the chip itself sustains.
     K = 50
-
-    @jax.jit
-    def run_k(params, hx, chunks):           # chunks: (K, B, hop)
-        def body(h, c):
-            h, out = step(params, h, c)
-            return h, out
-        return jax.lax.scan(body, hx, chunks)
-
     rng = np.random.default_rng(0)
     chunks = jnp.asarray(rng.standard_normal((K, N_STREAMS, hop)) * 0.1,
                          jnp.float32)
-    hx = model.init_state(N_STREAMS)
 
-    # Warmup / compile.
-    for _ in range(3):
-        hx2, out = run_k(params, hx, chunks)
-    jax.block_until_ready(out)
+    variant = "fused_hop"
+    try:
+        from audio_denoising_tpu.ops.pallas.fused_hop import (
+            fused_hop_init_state, make_fused_hop)
+        from audio_denoising_tpu.runtime.plan import build_cell_plan
+        plan = build_cell_plan(model, params)
+        hop_step = make_fused_hop(cfg, plan)
+        state0 = fused_hop_init_state(cfg, plan, N_STREAMS)
+
+        @jax.jit
+        def run_k(state, chunks):
+            def body(s, c):
+                s, out = hop_step(s, c)
+                return s, out
+            return jax.lax.scan(body, state, chunks)
+
+        for _ in range(3):
+            st2, out = run_k(state0, chunks)
+        jax.block_until_ready(out)
+        run = lambda: run_k(state0, chunks)
+    except Exception as e:                    # pragma: no cover
+        print(f"fused hop unavailable ({type(e).__name__}: {e}); "
+              f"using op-by-op step", file=sys.stderr)
+        variant = "server_step"
+        step = make_server_step(cfg, model)
+
+        @jax.jit
+        def run_k(params, hx, chunks):        # chunks: (K, B, hop)
+            def body(h, c):
+                h, out = step(params, h, c)
+                return h, out
+            return jax.lax.scan(body, hx, chunks)
+
+        hx = model.init_state(N_STREAMS)
+        for _ in range(3):
+            hx2, out = run_k(params, hx, chunks)
+        jax.block_until_ready(out)
+        run = lambda: run_k(params, hx, chunks)
 
     times = []
     for _ in range(30):
         t0 = time.perf_counter()
-        hx2, out = run_k(params, hx, chunks)
+        _state, out = run()
         jax.block_until_ready(out)
         times.append((time.perf_counter() - t0) * 1e3 / K)
 
@@ -93,9 +119,9 @@ def main() -> None:
     audio_ms = N_STREAMS * HOP_MS
     realtime_x = audio_ms / p50
 
-    print(f"device={jax.devices()[0].device_kind} streams={N_STREAMS} "
-          f"hop={HOP_MS}ms p50={p50:.3f}ms p99={p99:.3f}ms "
-          f"aggregate={realtime_x:.0f}x realtime "
+    print(f"device={jax.devices()[0].device_kind} variant={variant} "
+          f"streams={N_STREAMS} hop={HOP_MS}ms p50={p50:.3f}ms "
+          f"p99={p99:.3f}ms aggregate={realtime_x:.0f}x realtime "
           f"({p50 / N_STREAMS * 1e3:.1f}us/stream)", file=sys.stderr)
 
     print(json.dumps({

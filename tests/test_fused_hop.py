@@ -74,3 +74,26 @@ class TestFusedHop:
         np.testing.assert_allclose(x @ SF, X.imag, atol=1e-2)
         back = X.real.astype(np.float32) @ IC + X.imag.astype(np.float32) @ IS
         np.testing.assert_allclose(back, x, atol=1e-5)
+
+
+class TestFusedEngineMode:
+    def test_engine_fused_mode(self, setup, rng):
+        """StreamEngine mode='fused' serves through the one-kernel hop.
+        (CPU compiles the Mosaic kernel via the interpret-free path only on
+        TPU; here we verify the mode wiring with interpret monkeypatch.)"""
+        cfg, model, params, plan = setup
+        import audio_denoising_tpu.ops.pallas.fused_hop as fh
+        orig = fh.make_fused_hop
+        try:
+            fh.make_fused_hop = lambda c, p, **kw: orig(c, p, interpret=True)
+            from audio_denoising_tpu.runtime.engine import StreamEngine
+            eng = StreamEngine(cfg, model, params, mode="fused",
+                               max_streams=2, jit=False)
+            eng.add_stream("s")
+            hop = cfg.dsp.hop_length
+            out = eng.process(
+                {"s": (0.1 * rng.standard_normal(hop)).astype(np.float32)})
+            assert out["s"].shape == (hop,)
+            assert np.all(np.isfinite(out["s"]))
+        finally:
+            fh.make_fused_hop = orig

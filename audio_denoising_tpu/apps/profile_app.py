@@ -1,5 +1,6 @@
-"""Serving profiler CLI: per-hop latency (dispatch-inclusive and amortized)
-plus stage breakdown (front-end DSP / model / back-end DSP) for a preset.
+"""Serving profiler CLI: per-hop latency, dispatch-inclusive (true
+end-to-end, one block per hop) and amortized (chip-only rate, K hops per
+dispatch), for a preset/mode; optional XLA device trace for TensorBoard.
 
 Usage: python -m audio_denoising_tpu profile --model gruunet2-good \
            --streams 256 [--trace /tmp/adt_trace]

@@ -70,9 +70,19 @@ def fused_hop_init_state(cfg: Config, plan, batch: int) -> FusedHopState:
 
 
 def make_fused_hop(cfg: Config, plan, interpret: bool = False,
-                   block_b: int = 128):
-    """-> ``step(state: FusedHopState, chunk (B, hop)) ->
-    (state', out (B, hop))`` — one pallas_call per hop."""
+                   block_b: int = 128, hops_per_call: int = 1):
+    """One-kernel serving hop(s).
+
+    hops_per_call == 1 -> ``step(state, chunk (B, hop)) -> (state', out)``,
+    one pallas_call per hop (the latency path).
+
+    hops_per_call == K > 1 -> ``step(state, chunks (K, B, hop)) ->
+    (state', outs (K, B, hop))`` — K hops inside ONE pallas_call with the
+    per-stream state RESIDENT IN VMEM SCRATCH across grid steps
+    (grid = (B_tiles, K); scratch persists per core across the grid, so
+    the sequential K dimension never leaves the chip — the throughput
+    path: no per-hop kernel-launch or state HBM round trips at all).
+    """
     dsp = cfg.dsp
     srv = cfg.serving
     n_fft, hop, F, M = dsp.n_fft, dsp.hop_length, dsp.n_stft, dsp.n_mels
@@ -114,32 +124,28 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         (ring_o, ola_o, hx_o, out_o) = refs[-4:]
         cs = refs[:n_consts]
         w = list(refs[n_consts:-4])
+        ring, ola, hx, out = _hop_math(cs, w, ring_ref[:], ola_ref[:],
+                                       hx_ref[:], chunk_ref[:])
+        ring_o[:] = ring
+        ola_o[:] = ola
+        hx_o[:] = hx
+        out_o[:] = out
+
+    # Shared hop body: consumes/produces plain arrays so the single-hop
+    # kernel and the resident multi-hop kernel reuse identical math.
+    def _hop_math(cs, w, ring_prev, ola_prev, hx_prev, chunk):
         cf, sf, ic, is_, melr, imelr, win_r, env_r = cs
 
         def dot(a, b):
-            # b may be a VMEM Ref (weights) or an array; [:] reads either.
-            # HIGHEST: the MXU's default bf16 passes lose ~1e-2 through the
-            # 640-point DFT; fp32 (3-pass) keeps the hop at ~1e-4 of the
-            # rfft-based op-by-op step, and these matmuls are latency- not
-            # throughput-bound here.
             return jnp.dot(a, b[:], preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
 
-        # 1. ring shift-in
-        ring = jnp.concatenate([ring_ref[:, hop:], chunk_ref[:]], axis=-1)
-        ring_o[:] = ring
-
-        # 2-3. windowed forward DFT
+        ring = jnp.concatenate([ring_prev[:, hop:], chunk], axis=-1)
         frame = ring * win_r[0]
         re = dot(frame, cf)
         im = dot(frame, sf)
         mag = jnp.sqrt(re * re + im * im)
-
-        # 4-5. mel log1p (as log(1+x): log1p/expm1 lack Mosaic lowerings;
-        # mel magnitudes are O(1e-2..1e2), so the naive forms lose nothing)
-        x = jnp.log(1.0 + dot(mag, melr))                 # (b, M)
-
-        # 6. plan cell
+        x = jnp.log(1.0 + dot(mag, melr))
         wi = 0
         h = x
         skips = [h]
@@ -148,16 +154,14 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             wi += 2
             skips.append(h)
         gate_x = h
-        hx = hx_ref[:]
-        gate_h = jnp.maximum(dot(hx, w[wi]) + w[wi + 1][0], 0.0)
+        gate_h = jnp.maximum(dot(hx_prev, w[wi]) + w[wi + 1][0], 0.0)
         wi += 2
         i_r, i_i, i_n = (gate_x[:, :n], gate_x[:, n:2 * n], gate_x[:, 2 * n:])
         h_r, h_i, h_n = (gate_h[:, :n], gate_h[:, n:2 * n], gate_h[:, 2 * n:])
         inputgate = jax.nn.sigmoid(i_i + h_i)
         resetgate = jax.nn.sigmoid(i_r + h_r)
         newgate = jnp.tanh(i_n + resetgate * h_n)
-        hi = newgate + inputgate * (hx - newgate)
-        hx_o[:] = hi * srv.state_decay
+        hi = newgate + inputgate * (hx_prev - newgate)
         h = hi
         for i in range(L):
             out = dot(h, w[wi]) + w[wi + 1][0]
@@ -166,27 +170,91 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
                 out = out + dot(skips[L - i], w[wi])
                 wi += 1
             h = jnp.maximum(out, 0.0) if i != L - 1 else out
-        resid = h                                             # (b, M)
-
-        # 7. residual subtract, expm1, inverse mel, gain
-        rec = x - resid
-        rec = jnp.where(rec >= 0, rec, 0.2 * rec)             # leaky_relu 0.2
+        rec = x - h
+        rec = jnp.where(rec >= 0, rec, 0.2 * rec)
         mel_mag = jnp.maximum(jnp.exp(rec) - 1.0, 0.0)
-        lin = dot(mel_mag, imelr) * srv.output_gain        # (b, F)
-
-        # 8. noisy-phase reuse without trig: scale complex bins
+        lin = dot(mel_mag, imelr) * srv.output_gain
         scale = lin / jnp.maximum(mag, 1e-8)
-        rec_re = re * scale
-        rec_im = im * scale
-
-        # 9. inverse DFT + synthesis window
-        synth = (dot(rec_re, ic) + dot(rec_im, is_)) * win_r[0]
-
-        # 10. WOLA
-        acc = ola_ref[:] + synth
-        out_o[:] = acc[:, :hop] / env_r[0]
-        ola_o[:] = jnp.concatenate(
+        synth = (dot(re * scale, ic) + dot(im * scale, is_)) * win_r[0]
+        acc = ola_prev + synth
+        out_hop = acc[:, :hop] / env_r[0]
+        ola = jnp.concatenate(
             [acc[:, hop:], jnp.zeros_like(acc[:, :hop])], axis=-1)
+        return ring, ola, hi * srv.state_decay, out_hop
+
+    # --- resident multi-hop kernel (throughput path) -------------------------
+    K = hops_per_call
+
+    def kernel_multi(ring_ref, ola_ref, hx_ref, chunk_ref, *refs):
+        ring_s, ola_s, hx_s = refs[-3:]
+        (ring_o, ola_o, hx_o, out_o) = refs[-7:-3]
+        cs = refs[:n_consts]
+        w = list(refs[n_consts:-7])
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            ring_s[:] = ring_ref[:]
+            ola_s[:] = ola_ref[:]
+            hx_s[:] = hx_ref[:]
+
+        ring, ola, hx, out = _hop_math(cs, w, ring_s[:], ola_s[:],
+                                       hx_s[:], chunk_ref[0])
+        ring_s[:] = ring
+        ola_s[:] = ola
+        hx_s[:] = hx
+        out_o[0] = out
+
+        @pl.when(k == K - 1)
+        def _():
+            ring_o[:] = ring
+            ola_o[:] = ola
+            hx_o[:] = hx
+
+    def step_multi(state: FusedHopState, chunks: jnp.ndarray):
+        k, b = chunks.shape[0], chunks.shape[1]
+        assert k == K, f"expected {K} hops per call, got {k}"
+        bp = _round_up(b, block_b)
+        ring, ola, hx = state
+        if bp != b:
+            pad = lambda a: jnp.pad(a, ((0, bp - b), (0, 0)))
+            ring, ola, hx = pad(ring), pad(ola), pad(hx)
+            chunks = jnp.pad(chunks, ((0, 0), (0, bp - b), (0, 0)))
+        grid = (bp // block_b, K)
+        bspec = lambda width: pl.BlockSpec(
+            (block_b, width), lambda i, k: (i, 0), memory_space=pltpu.VMEM)
+        kspec = pl.BlockSpec((1, block_b, hop), lambda i, k: (k, i, 0),
+                             memory_space=pltpu.VMEM)
+        const_specs = [pl.BlockSpec(op.shape, lambda i, k: (0, 0),
+                                    memory_space=pltpu.VMEM)
+                       for op in operands]
+        H = hx.shape[1]
+        ring2, ola2, hx2, outs = pl.pallas_call(
+            kernel_multi,
+            grid=grid,
+            in_specs=[bspec(n_fft), bspec(n_fft), bspec(H), kspec]
+            + const_specs,
+            out_specs=(bspec(n_fft), bspec(n_fft), bspec(H), kspec),
+            out_shape=(
+                jax.ShapeDtypeStruct((bp, n_fft), jnp.float32),
+                jax.ShapeDtypeStruct((bp, n_fft), jnp.float32),
+                jax.ShapeDtypeStruct((bp, H), jnp.float32),
+                jax.ShapeDtypeStruct((K, bp, hop), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_b, n_fft), jnp.float32),
+                pltpu.VMEM((block_b, n_fft), jnp.float32),
+                pltpu.VMEM((block_b, H), jnp.float32),
+            ],
+            interpret=interpret,
+        )(ring, ola, hx, chunks, *operands)
+        if bp != b:
+            ring2, ola2, hx2 = ring2[:b], ola2[:b], hx2[:b]
+            outs = outs[:, :b]
+        return FusedHopState(ring2, ola2, hx2), outs
+
+    if hops_per_call > 1:
+        return step_multi
 
     def step(state: FusedHopState,
              chunk: jnp.ndarray) -> Tuple[FusedHopState, jnp.ndarray]:

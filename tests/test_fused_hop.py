@@ -97,3 +97,39 @@ class TestFusedEngineMode:
             assert np.all(np.isfinite(out["s"]))
         finally:
             fh.make_fused_hop = orig
+
+
+class TestResidentMultiHop:
+    def test_matches_sequential_single_hops(self, setup, rng):
+        """K hops in one pallas_call (state resident in VMEM scratch
+        across grid steps) == K sequential single-hop calls, bit-exact."""
+        cfg, model, params, plan = setup
+        from audio_denoising_tpu.ops.pallas.fused_hop import (
+            fused_hop_init_state, make_fused_hop)
+        B, K, hop = 3, 4, cfg.dsp.hop_length
+        single = make_fused_hop(cfg, plan, interpret=True)
+        multi = make_fused_hop(cfg, plan, interpret=True, hops_per_call=K)
+        chunks = jnp.asarray(0.1 * rng.standard_normal((K, B, hop)),
+                             jnp.float32)
+        s = fused_hop_init_state(cfg, plan, B)
+        s1, outs1 = s, []
+        for t in range(K):
+            s1, o = single(s1, chunks[t])
+            outs1.append(np.asarray(o))
+        s2, outs2 = multi(s, chunks)
+        np.testing.assert_array_equal(np.stack(outs1), np.asarray(outs2))
+        np.testing.assert_array_equal(np.asarray(s1.hx), np.asarray(s2.hx))
+        np.testing.assert_array_equal(np.asarray(s1.ring),
+                                      np.asarray(s2.ring))
+        np.testing.assert_array_equal(np.asarray(s1.ola),
+                                      np.asarray(s2.ola))
+
+    def test_wrong_hop_count_asserts(self, setup, rng):
+        cfg, model, params, plan = setup
+        from audio_denoising_tpu.ops.pallas.fused_hop import (
+            fused_hop_init_state, make_fused_hop)
+        multi = make_fused_hop(cfg, plan, interpret=True, hops_per_call=4)
+        s = fused_hop_init_state(cfg, plan, 2)
+        bad = jnp.zeros((3, 2, cfg.dsp.hop_length))
+        with pytest.raises(AssertionError):
+            multi(s, bad)

@@ -175,3 +175,26 @@ class TestCLITools:
         from audio_denoising_tpu.hub import load_pretrained
         with pytest.raises(ValueError):
             load_pretrained("not-a-preset")
+
+
+class TestHubPthDirect:
+    def test_load_pretrained_from_reference_pth(self):
+        """hub loads a raw reference .pth and the model serves it."""
+        pth = "/root/reference/saves/GRUUNet2-good/checkpoint.pth"
+        if not os.path.exists(pth):
+            pytest.skip("reference checkpoint unavailable")
+        import jax
+        import jax.numpy as jnp
+        from audio_denoising_tpu.hub import load_pretrained
+        from audio_denoising_tpu.config import PRESETS
+        cfg, model, params = load_pretrained(pth, cfg=PRESETS["gruunet2-good"])
+        x = jnp.zeros((1, 3, 64))
+        y, hx = model.apply(params, x)
+        assert y.shape == (1, 3, 64)
+        # same weights as the converted npz
+        from audio_denoising_tpu.compat.npz_store import load_params_npz
+        ref, _ = load_params_npz(os.path.join(REPO, "checkpoints",
+                                              "gruunet2-good.npz"))
+        np.testing.assert_array_equal(
+            np.asarray(params["cell.input_gate.downs.0.conv.weight"]),
+            ref["cell.input_gate.downs.0.conv.weight"])

@@ -75,10 +75,29 @@ class TrainingContext:
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # -- pure steps ---------------------------------------------------------
+    def _forward(self, params, x):
+        """Model forward for training. For GRUUNet-family models the
+        matrixized plan is built INSIDE the step — build_cell_plan probes
+        the conv ops, so it is differentiable and gradients flow through
+        the dense plan back to the conv weights — and the sequence runs
+        with the encoder/decoder lifted out of the scan
+        (plan_apply_parallel): the backward pass through the recurrence
+        then touches only the tiny gating, not 9 matmuls per frame."""
+        if getattr(self.model, "levels", None) is not None and hasattr(
+                self.model, "smears_down"):
+            from audio_denoising_tpu.runtime.plan import (
+                build_cell_plan, plan_apply_parallel)
+            plan = build_cell_plan(self.model, params)
+            hx = jnp.zeros((x.shape[0],
+                            self.model.hidden * self.model.compressed),
+                           x.dtype)
+            return plan_apply_parallel(plan, x, hx)
+        return self.model.apply(params, x)
+
     def _loss(self, params, mixture, clean, loss_fn):
         x = self.features(mixture)           # (B, T, M) noisy input
         target = x - self.features(clean)    # residual target (noisy - clean)
-        pred, _ = self.model.apply(params, x)
+        pred, _ = self._forward(params, x)
         return loss_fn(pred, target)
 
     def _train_step_impl(self, state: TrainState, mixture, clean):

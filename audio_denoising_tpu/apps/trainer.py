@@ -39,6 +39,10 @@ def main(argv=None) -> int:
     p.add_argument("--resume", default=None, help="checkpoint to resume from")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all devices")
+    p.add_argument("--device-data", action="store_true",
+                   help="device-resident pipeline: corpus uploaded to HBM "
+                        "once, batches synthesized on device (fastest on "
+                        "remote-attached chips)")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--crop-samples", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
@@ -66,6 +70,18 @@ def main(argv=None) -> int:
     clean, noise = find_corpus(args.data)
     if not clean:
         p.error(f"no WAV files under {args.data}")
+
+    if args.device_data:
+        from audio_denoising_tpu.train.device_data import DeviceCorpus
+        corpus = DeviceCorpus.from_paths(clean, cfg.dsp.sample_rate)
+        print(f"device corpus: {len(corpus)} samples "
+              f"({len(corpus) / cfg.dsp.sample_rate:.0f}s)")
+        ctx.fit_on_device(corpus, iters=args.iters,
+                          log_every=args.log_every)
+        ctx.save(args.save)
+        print(f"saved {args.save} at iter {ctx.total_iters}")
+        return 0
+
     sampler = MixtureSampler(clean, noise,
                              crop_samples=cfg.train.crop_samples,
                              batch_size=cfg.train.batch_size,

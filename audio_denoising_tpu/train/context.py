@@ -143,6 +143,45 @@ class TrainingContext:
                 self.eval_step(m, c)
         return self.train_loss_record
 
+    def fit_on_device(self, corpus, iters: int, steps_per_dispatch: int = 10,
+                      log_every: int = 0, seed: int = 0):
+        """Fully device-resident training (train/device_data.py): batch
+        synthesis + K train steps per dispatch; per-dispatch host traffic
+        is one key in, K loss scalars out."""
+        import functools
+        from audio_denoising_tpu.train.device_data import make_device_sampler
+
+        sample = make_device_sampler(corpus, self.cfg.train.crop_samples,
+                                     self.cfg.train.batch_size)
+        K = steps_per_dispatch
+
+        def one(carry, _):
+            state, key = carry
+            key, sub = jax.random.split(key)
+            mixture, clean = sample(sub)
+            state, loss = self._train_step_impl(state, mixture, clean)
+            return (state, key), loss
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(carry):
+            return jax.lax.scan(one, carry, None, length=K)
+
+        carry = (self.state, jax.random.PRNGKey(seed))
+        done = 0
+        while done < iters:
+            carry, losses = run(carry)
+            losses = np.asarray(losses)
+            for v in losses:
+                self.total_iters += 1
+                self.train_loss_record[self.total_iters] = float(v)
+            done += K
+            if log_every and (done % log_every == 0 or done >= iters):
+                print(f"iter {self.total_iters}: train "
+                      f"{self.cfg.train.loss_metric_train}="
+                      f"{losses[-1]:.5f}", flush=True)
+        self.state = carry[0]
+        return self.train_loss_record
+
     # -- checkpointing ----------------------------------------------------------
     def save(self, path: str) -> None:
         """Native checkpoint: params + loss records + config + metadata —

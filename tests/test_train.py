@@ -119,3 +119,44 @@ class TestMixtureSampler:
         assert m.shape == c.shape == (4, 2048)
         assert np.abs(m).max() <= 1.0
         assert not np.allclose(m, c)  # noise was added
+
+
+class TestDeviceResidentTraining:
+    def test_device_sampler_shapes_and_clip(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from audio_denoising_tpu.train.device_data import (
+            DeviceCorpus, make_device_sampler)
+        buf = jnp.asarray(0.5 * rng.standard_normal(10000), jnp.float32)
+        corpus = DeviceCorpus(buf, 48000)
+        sample = jax.jit(make_device_sampler(corpus, 2000, 4))
+        m, c = sample(jax.random.PRNGKey(0))
+        assert m.shape == c.shape == (4, 2000)
+        assert float(jnp.abs(m).max()) <= 1.0
+        # clean crops really come from the corpus
+        c0 = np.asarray(c[0])
+        buf_np = np.asarray(buf)
+        found = any(np.array_equal(
+            buf_np[s:s + 2000], c0) for s in range(0, 8000, 1))
+        assert found
+
+    def test_fit_on_device_learns(self):
+        import dataclasses
+        import jax.numpy as jnp
+        from audio_denoising_tpu.config import PRESETS
+        from audio_denoising_tpu.models import build_model
+        from audio_denoising_tpu.train.context import TrainingContext
+        from audio_denoising_tpu.train.device_data import DeviceCorpus
+        rng = np.random.default_rng(0)
+        cfg = PRESETS["gruunet2-dari_tult"]
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, batch_size=4, crop_samples=12000))
+        model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+        ctx = TrainingContext(cfg, model, seed=0)
+        t = np.arange(60000) / 48000.0
+        tone = (0.4 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+        corpus = DeviceCorpus(jnp.asarray(tone), 48000)
+        rec = ctx.fit_on_device(corpus, iters=20, steps_per_dispatch=5)
+        losses = [rec[k] for k in sorted(rec)]
+        assert losses[-1] < losses[0]
+        assert ctx.total_iters == 20

@@ -192,6 +192,15 @@ PRESETS: Dict[str, Config] = {
         model=ModelConfig(arch="GRUUNet2"),
         serving=ServingConfig(state_decay=0.9, output_gain=3.0, chunk_samples=512),
     ),
+    # The BASELINE serving config: 16 kHz streams, 20 ms hops, phase reuse,
+    # single-frame fast analysis (n_fft = 2 hops) — the bench.py setup.
+    "gruunet2-stream16k": Config(
+        dsp=DSPConfig(sample_rate=16000, n_fft=640, hop_length=320,
+                      n_mels=64, domain="mel", reconstruction="phase"),
+        model=ModelConfig(arch="GRUUNet2"),
+        serving=ServingConfig(state_decay=0.9, output_gain=3.0,
+                              chunk_samples=320),
+    ),
     # Stateless magnitude U-Net (unet4) on the raw-spectrogram front-end:
     # BINS=241 = 480/2+1, win 10 ms, hop 384 (utils.py:32-37, unet4.py:32).
     # The reference ships no UNet checkpoint — train via the training CLI.

@@ -25,6 +25,10 @@ from audio_denoising_tpu.models import build_model
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHECKPOINT_DIR = os.path.join(_REPO_ROOT, "checkpoints")
 
+# Presets that reuse another preset's weights (same architecture + mel
+# bins, different DSP/serving config).
+_CKPT_ALIASES = {"gruunet2-stream16k": "gruunet2-good"}
+
 
 def _as_jnp(params: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
     return {k: jnp.asarray(v) for k, v in params.items()}
@@ -35,7 +39,8 @@ def load_pretrained(spec: str, cfg: Optional[Config] = None):
     reference .pth path."""
     if spec in PRESETS:
         cfg = cfg or PRESETS[spec]
-        path = os.path.join(CHECKPOINT_DIR, f"{spec}.npz")
+        ckpt_name = _CKPT_ALIASES.get(spec, spec)
+        path = os.path.join(CHECKPOINT_DIR, f"{ckpt_name}.npz")
         if not os.path.exists(path):
             raise FileNotFoundError(
                 f"preset {spec!r} has no converted checkpoint at {path}; "

@@ -46,6 +46,10 @@ class DSPConfig:
     reconstruction: str = "phase"
     griffin_lim_iters: int = 32
     griffin_lim_momentum: float = 0.99
+    # RTISI-style streaming warm start: carry converged GL phases across
+    # hops and re-seed each window (shifted by one frame) — reaches cold-32
+    # quality in ~4-8 iterations once the stream is warm.
+    griffin_lim_warm_start: bool = False
 
     @property
     def win(self) -> int:

@@ -22,18 +22,28 @@ from audio_denoising_tpu.ops.stft import stft, istft
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length",
-                                   "n_iter", "momentum", "length", "init"))
+                                   "n_iter", "momentum", "length", "init",
+                                   "return_angles"))
 def griffin_lim(magnitude: jnp.ndarray, n_fft: int, hop_length: int,
                 win_length: Optional[int] = None,
                 window: Optional[jnp.ndarray] = None,
                 n_iter: int = 32, momentum: float = 0.99,
                 length: Optional[int] = None, init: str = "ones",
-                key: Optional[jax.Array] = None) -> jnp.ndarray:
-    """magnitude: (..., freq, T) non-negative -> waveform (..., L)."""
+                key: Optional[jax.Array] = None,
+                init_angles: Optional[jnp.ndarray] = None,
+                return_angles: bool = False):
+    """magnitude: (..., freq, T) non-negative -> waveform (..., L).
+
+    ``init_angles`` seeds the phase estimate (RTISI-style streaming warm
+    start: pass the previous hop's converged angles, run far fewer
+    iterations); ``return_angles`` also returns the converged angles for
+    carrying."""
     assert 0 <= momentum < 1
     mom = momentum / (1 + momentum)
 
-    if init == "random":
+    if init_angles is not None:
+        angles = init_angles.astype(jnp.complex64)
+    elif init == "random":
         if key is None:
             key = jax.random.PRNGKey(0)
         kr, ki = jax.random.split(key)
@@ -55,5 +65,8 @@ def griffin_lim(magnitude: jnp.ndarray, n_fft: int, hop_length: int,
 
     zero = jnp.zeros_like(angles)
     angles, _ = jax.lax.fori_loop(0, n_iter, body, (angles, zero))
-    return istft(mag * angles, n_fft, hop_length, win_length,
-                 window=window, length=length)
+    out = istft(mag * angles, n_fft, hop_length, win_length,
+                window=window, length=length)
+    if return_angles:
+        return out, angles
+    return out

@@ -131,15 +131,27 @@ class WebRTCState(NamedTuple):
     ring: jnp.ndarray   # (B, n_fft) input window
     ola: jnp.ndarray    # (B, n_fft) overlap-add accumulator
     hx: jnp.ndarray     # model hidden state
+    gl_angles: Optional[jnp.ndarray] = None  # (B, F, T) carried GL phases
+
+
+def _webrtc_frames(cfg: Config) -> int:
+    """Frames in one centered n_fft window's STFT."""
+    return num_frames(cfg.dsp.n_fft, cfg.dsp.n_fft, cfg.dsp.hop_length)
 
 
 def webrtc_init_state(cfg: Config, model, batch: int,
                       dtype=jnp.float32) -> WebRTCState:
     n_fft = cfg.dsp.n_fft
+    angles = None
+    if cfg.dsp.griffin_lim_warm_start:
+        angles = jnp.full(
+            (batch, cfg.dsp.n_stft, _webrtc_frames(cfg)), 1.0 + 0.0j,
+            jnp.complex64)
     return WebRTCState(
         ring=jnp.zeros((batch, n_fft), dtype),
         ola=jnp.zeros((batch, n_fft), dtype),
         hx=model.init_state(batch, dtype),
+        gl_angles=angles,
     )
 
 
@@ -151,6 +163,9 @@ def make_webrtc_step(cfg: Config, model):
     dsp = cfg.dsp
     n_fft, hop = dsp.n_fft, dsp.hop_length
     fb, inv, win = _transforms(cfg)
+    # per-bin linear phase advance of one hop (seeds the next window's GL)
+    gl_rot = jnp.exp(-2j * jnp.pi * jnp.arange(dsp.n_stft) * hop / n_fft
+                     )[None, :, None]
 
     def step(params, state: WebRTCState,
              chunk: jnp.ndarray) -> Tuple[WebRTCState, jnp.ndarray]:
@@ -170,16 +185,30 @@ def make_webrtc_step(cfg: Config, model):
         recon = jax.nn.leaky_relu(x - resid, negative_slope=0.2)
         mel_mag = jnp.maximum(jnp.expm1(jnp.swapaxes(recon, -1, -2)), 0.0)
         lin_mag = inverse_mel_scale(mel_mag, inv)
-        frame = griffin_lim(lin_mag, n_fft, hop, dsp.win, window=win,
-                            n_iter=dsp.griffin_lim_iters,
-                            momentum=dsp.griffin_lim_momentum)  # (B, n_fft)
+        if dsp.griffin_lim_warm_start:
+            # re-seed from the carried phases, shifted one frame (the
+            # window advanced one hop); the new frame reuses the last
+            # frame's estimate — RTISI-style streaming Griffin-Lim.
+            seed = jnp.concatenate(
+                [state.gl_angles[..., 1:], state.gl_angles[..., -1:]],
+                axis=-1) * gl_rot
+            frame, angles = griffin_lim(
+                lin_mag, n_fft, hop, dsp.win, window=win,
+                n_iter=dsp.griffin_lim_iters,
+                momentum=dsp.griffin_lim_momentum,
+                init_angles=seed, return_angles=True)
+        else:
+            angles = state.gl_angles
+            frame = griffin_lim(lin_mag, n_fft, hop, dsp.win, window=win,
+                                n_iter=dsp.griffin_lim_iters,
+                                momentum=dsp.griffin_lim_momentum)
         frame = frame * peak
 
         out = state.ola[:, :hop]
         ola = jnp.concatenate(
             [state.ola[:, hop:], jnp.zeros_like(state.ola[:, :hop])], axis=-1)
         ola = ola + frame
-        return WebRTCState(ring=ring, ola=ola, hx=hx), out
+        return WebRTCState(ring=ring, ola=ola, hx=hx, gl_angles=angles), out
 
     return step
 

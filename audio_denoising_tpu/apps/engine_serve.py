@@ -34,10 +34,17 @@ from audio_denoising_tpu.runtime.metrics import ServingMetrics
 class EngineDaemon:
     def __init__(self, spec: str = "gruunet2-good", max_streams: int = 256,
                  address=("localhost", 6102), mode: str = "fast",
-                 tick_ms: float = 1.0):
+                 tick_ms: float = 1.0, multichip: bool = False):
         self.cfg, self.model, self.params = load_pretrained(spec)
+        mesh = None
+        if multichip:
+            import jax
+            if len(jax.devices()) > 1:
+                from audio_denoising_tpu.parallel.mesh import make_mesh
+                mesh = make_mesh()
         self.engine = StreamEngine(self.cfg, self.model, self.params,
-                                   mode=mode, max_streams=max_streams)
+                                   mode=mode, max_streams=max_streams,
+                                   mesh=mesh)
         self.address = address
         self.tick_s = tick_ms / 1e3
         self.metrics = ServingMetrics()
@@ -159,7 +166,10 @@ def main(argv=None) -> int:
     p.add_argument("--max-streams", type=int, default=256)
     p.add_argument("--mode", choices=["fast", "webrtc"], default="fast")
     p.add_argument("--tick-ms", type=float, default=1.0)
+    p.add_argument("--multichip", action="store_true",
+                   help="shard stream slots over all devices (1-D mesh)")
     args = p.parse_args(argv)
     EngineDaemon(args.model, args.max_streams, (args.host, args.port),
-                 args.mode, args.tick_ms).serve_forever()
+                 args.mode, args.tick_ms,
+                 multichip=args.multichip).serve_forever()
     return 0

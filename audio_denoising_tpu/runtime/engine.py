@@ -102,12 +102,21 @@ class StreamEngine:
     """
 
     def __init__(self, cfg: Config, model, params, mode: str = "fast",
-                 max_streams: Optional[int] = None, jit: bool = True):
+                 max_streams: Optional[int] = None, jit: bool = True,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — params replicate, the
+        stream-slot axis shards over it (multi-chip serving; the model
+        needs no cross-chip communication, so N chips give N-way
+        throughput on ICI)."""
         self.cfg = cfg
         self.model = model
         self.params = params
         self.mode = mode
+        self.mesh = mesh
         self.n = max_streams or cfg.serving.max_streams
+        if mesh is not None:
+            assert self.n % mesh.devices.size == 0, (
+                "max_streams must divide evenly over the mesh")
         self.hop = cfg.dsp.hop_length
 
         if mode == "fast":
@@ -131,7 +140,26 @@ class StreamEngine:
         else:
             raise ValueError(f"unknown engine mode {mode!r}")
 
-        self._step = jax.jit(step, donate_argnums=(1,)) if jit else step
+        if mesh is not None:
+            if mode == "fused":
+                raise ValueError(
+                    "mesh sharding is not supported with mode='fused' "
+                    "(pallas_call is not auto-partitionable); use 'fast'")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+            state_sh = jax.tree.map(lambda _: shard, self.state)
+            params_sh = jax.tree.map(lambda _: repl, params)
+            self._step = jax.jit(
+                step,
+                in_shardings=(params_sh, state_sh, shard),
+                out_shardings=(state_sh, shard),
+                donate_argnums=(1,))
+            self.params = jax.device_put(params, repl)
+            self.state = jax.device_put(self.state, shard)
+            self._zero_one = jax.device_put(self._zero_one, repl)
+        else:
+            self._step = jax.jit(step, donate_argnums=(1,)) if jit else step
         self._reset_slot = jax.jit(self._reset_slot_impl, donate_argnums=(0,))
 
         self.slots: Dict[str, int] = {}

@@ -214,3 +214,46 @@ class TestEngineSnapshot:
         snap["mode"] = "webrtc"
         with pytest.raises(ValueError):
             eng.restore(snap)
+
+
+class TestMeshEngine:
+    def test_engine_sharded_over_mesh_matches_single(self, rng):
+        """StreamEngine(mesh=...) shards slots over 8 devices and matches
+        the single-device engine numerically."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+        from audio_denoising_tpu.config import PRESETS
+        from audio_denoising_tpu.models import build_model
+        from audio_denoising_tpu.runtime.engine import StreamEngine
+        cfg = PRESETS["gruunet2-good"]
+        model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+        params = model.init(jax.random.PRNGKey(0))
+        mesh = Mesh(np.asarray(jax.devices()), ("streams",))
+
+        e1 = StreamEngine(cfg, model, params, max_streams=16)
+        e2 = StreamEngine(cfg, model, params, max_streams=16, mesh=mesh)
+        for e in (e1, e2):
+            e.add_stream("a")
+            e.add_stream("b")
+        hop = cfg.dsp.hop_length
+        chunks = {"a": (0.1 * rng.standard_normal(hop)).astype(np.float32),
+                  "b": (0.1 * rng.standard_normal(hop)).astype(np.float32)}
+        o1 = e1.process(dict(chunks))
+        o2 = e2.process(dict(chunks))
+        np.testing.assert_allclose(o1["a"], o2["a"], atol=1e-6)
+        np.testing.assert_allclose(o1["b"], o2["b"], atol=1e-6)
+
+    def test_mesh_rejects_fused(self):
+        import jax
+        from jax.sharding import Mesh
+        from audio_denoising_tpu.config import PRESETS
+        from audio_denoising_tpu.models import build_model
+        from audio_denoising_tpu.runtime.engine import StreamEngine
+        cfg = PRESETS["gruunet2-good"]
+        model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+        params = model.init(jax.random.PRNGKey(0))
+        mesh = Mesh(np.asarray(jax.devices()), ("streams",))
+        with pytest.raises(ValueError):
+            StreamEngine(cfg, model, params, mode="fused", max_streams=16,
+                         mesh=mesh)

@@ -40,6 +40,9 @@ class CellPlan(NamedTuple):
     up_biases: Tuple[jnp.ndarray, ...]
     hidden: int
     compressed: int
+    # MOMO3: level-0 input is affine in (x_t, prev) jointly (delta feature
+    # x_t - prev, momo3.py:286-289); down_mats[0] then has 2F input rows.
+    delta: bool = False
 
 
 def _probe_affine(fn, n_in: int, dtype=jnp.float32):
@@ -129,13 +132,112 @@ def build_cell_plan(model, params) -> CellPlan:
         up_biases=tuple(up_biases), hidden=hidden, compressed=comp)
 
 
-def plan_cell(plan: CellPlan, x_t: jnp.ndarray,
-              hx: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def build_cell_plan_momo(model, params) -> CellPlan:
+    """Compile a MOMO2/MOMO3 model + params into a CellPlan.
+
+    Same topology as GRUUNet2 with two differences (momo3.py vs
+    gruunet2.py): smearing happens ONCE at the input (not per level), and
+    MOMO3's level-0 input is the stack [x_t, x_t - prev] — affine in
+    (x_t, prev) jointly, so down_mats[0] takes the concatenated 2F vector.
+    """
+    from audio_denoising_tpu.ops.convs import conv1d, conv_transpose1d
+
+    c = model.config
+    geo = model.geo
+    L = geo.levels
+    sizes = geo.bin_sizes
+    F = model.num_bins
+    delta = model.delta
+
+    # level 0: (x, prev) -> conv(cat(stack([x, x-prev]), smear))
+    def g0(v):
+        b = v.shape[0]
+        if delta:
+            x, prev = v[:, :F], v[:, F:]
+            xin = jnp.stack([x, x - prev], axis=1)
+        else:
+            xin = v[:, None, :]
+        s = jnp.broadcast_to(geo.smear_in[None], (b,) + geo.smear_in.shape)
+        out = conv1d(jnp.concatenate([xin, s], axis=1),
+                     params["cell.input_gate.downs.0.conv.weight"],
+                     params["cell.input_gate.downs.0.conv.bias"],
+                     stride=c.strides[0], padding=c.paddings[0])
+        return out.reshape(b, -1)
+
+    down_mats, down_biases = [], []
+    m, b = _probe_affine(g0, (2 * F) if delta else F)
+    down_mats.append(m)
+    down_biases.append(b)
+
+    chans = list(c.hidden_sizes[:-1]) + [3 * geo.hidden]
+    for i in range(1, L):
+        C_in, L_in = chans[i - 1], sizes[i]
+
+        def g(v, i=i, C_in=C_in, L_in=L_in):
+            out = conv1d(v.reshape(v.shape[0], C_in, L_in),
+                         params[f"cell.input_gate.downs.{i}.conv.weight"],
+                         params[f"cell.input_gate.downs.{i}.conv.bias"],
+                         stride=c.strides[i], padding=c.paddings[i])
+            return out.reshape(v.shape[0], -1)
+
+        m, b = _probe_affine(g, C_in * L_in)
+        down_mats.append(m)
+        down_biases.append(b)
+
+    comp, hidden = geo.compressed, geo.hidden
+
+    def g_reset(v):
+        hx = v.reshape(v.shape[0], hidden, comp)
+        s = jnp.broadcast_to(geo.smear_hx[None],
+                             (v.shape[0],) + geo.smear_hx.shape)
+        out = conv1d(jnp.concatenate([hx, s], axis=1),
+                     params["cell.reset_gate.downs.0.conv.weight"],
+                     params["cell.reset_gate.downs.0.conv.bias"],
+                     stride=1, padding=1)
+        return out.reshape(v.shape[0], -1)
+
+    reset_mat, reset_bias = _probe_affine(g_reset, hidden * comp)
+
+    up_h_mats, up_s_mats, up_biases = [], [], []
+    rev = ([1] + list(c.hidden_sizes))[::-1]
+    for i in range(L):
+        C_h = rev[i]
+        C_s = 0 if i == 0 else rev[i]
+        L_in = sizes[L - i]
+        n_h, n_s = C_h * L_in, C_s * L_in
+
+        def g(v, i=i, C=C_h + C_s, L_in=L_in):
+            out = conv_transpose1d(
+                v.reshape(v.shape[0], C, L_in),
+                params[f"cell.output_gate.ups.{i}.conv.weight"],
+                params[f"cell.output_gate.ups.{i}.conv.bias"],
+                stride=c.strides[::-1][i], padding=c.paddings[::-1][i],
+                output_padding=geo.up_output_paddings[i])
+            return out.reshape(v.shape[0], -1)
+
+        m, b = _probe_affine(g, n_h + n_s)
+        up_h_mats.append(m[:n_h])
+        up_s_mats.append(m[n_h:] if n_s else None)
+        up_biases.append(b)
+
+    return CellPlan(
+        down_mats=tuple(down_mats), down_biases=tuple(down_biases),
+        reset_mat=reset_mat, reset_bias=reset_bias,
+        up_h_mats=tuple(up_h_mats), up_s_mats=tuple(up_s_mats),
+        up_biases=tuple(up_biases), hidden=hidden, compressed=comp,
+        delta=delta)
+
+
+def plan_cell(plan: CellPlan, x_t: jnp.ndarray, hx: jnp.ndarray,
+              prev: Optional[jnp.ndarray] = None
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One frame through the plan. x_t: (B, F); hx: (B, hidden*comp)
-    flattened. Returns (y (B, F), hx')."""
+    flattened; prev: previous frame for delta plans. Returns
+    (y (B, F), hx')."""
     L = len(plan.down_mats)
-    skips = [x_t]
-    h = x_t
+    x_in = jnp.concatenate([x_t, prev], axis=-1) if plan.delta else x_t
+    skips = [x_in]
+    h = x_in
     for m, b in zip(plan.down_mats, plan.down_biases):
         h = jax.nn.relu(h @ m + b)
         skips.append(h)
@@ -185,7 +287,13 @@ def plan_apply_parallel(plan: CellPlan, x: jnp.ndarray, hx: jnp.ndarray,
     """
     B, T, F = x.shape
     n = plan.hidden * plan.compressed
-    flat = x.reshape(B * T, F)
+    if plan.delta:
+        # prev_t = x_{t-1} (prev_0 = x_0, momo3.py delta-0 at t=0) is known
+        # for the whole sequence — the delta feature lifts out of the scan.
+        prev = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+        flat = jnp.concatenate([x, prev], axis=-1).reshape(B * T, 2 * F)
+    else:
+        flat = x.reshape(B * T, F)
 
     skips = [flat]
     h = flat
@@ -227,16 +335,24 @@ def plan_apply_parallel(plan: CellPlan, x: jnp.ndarray, hx: jnp.ndarray,
 class PlanModel:
     """Drop-in model adapter: same interface as the zoo models
     (init_state / cell / apply) but executing the matrixized plan.
-    ``fused=True`` runs the cell as one Pallas TPU kernel."""
+    ``fused=True`` runs the cell as one Pallas TPU kernel (GRUUNet
+    family only)."""
 
     def __init__(self, model, params, fused: bool = False,
                  interpret: bool = False):
         self.inner = model
-        self.plan = build_cell_plan(model, params)
+        self.is_momo = hasattr(model, "geo")
+        if self.is_momo:
+            self.plan = build_cell_plan_momo(model, params)
+        else:
+            self.plan = build_cell_plan(model, params)
         self.num_bins = model.num_bins
         self.fused = fused
         self.interpret = interpret
         if fused:
+            if self.plan.delta:
+                raise ValueError("fused kernel does not support delta "
+                                 "(MOMO3) plans yet; use fused=False")
             from audio_denoising_tpu.ops.pallas.gruunet_cell import (
                 make_fused_cell)
             self._cell = make_fused_cell(self.plan, interpret=interpret)
@@ -262,7 +378,7 @@ class PlanModel:
             hx = self.init_state(x.shape[0], x.dtype)
         if hx.ndim == 3:                     # accept model-layout state
             hx = hx.reshape(hx.shape[0], -1)
-        if x.shape[1] == 1:
+        if x.shape[1] == 1 and not self.plan.delta:
             y, hx = self._cell(x[:, 0], hx)
             return y[:, None], hx
         return plan_apply_parallel(self.plan, x, hx)

@@ -83,16 +83,17 @@ class TrainingContext:
         with the encoder/decoder lifted out of the scan
         (plan_apply_parallel): the backward pass through the recurrence
         then touches only the tiny gating, not 9 matmuls per frame."""
+        from audio_denoising_tpu.runtime.plan import (
+            build_cell_plan, build_cell_plan_momo, plan_apply_parallel)
         if getattr(self.model, "levels", None) is not None and hasattr(
                 self.model, "smears_down"):
-            from audio_denoising_tpu.runtime.plan import (
-                build_cell_plan, plan_apply_parallel)
             plan = build_cell_plan(self.model, params)
-            hx = jnp.zeros((x.shape[0],
-                            self.model.hidden * self.model.compressed),
-                           x.dtype)
-            return plan_apply_parallel(plan, x, hx)
-        return self.model.apply(params, x)
+        elif hasattr(self.model, "geo"):                  # MOMO2/MOMO3
+            plan = build_cell_plan_momo(self.model, params)
+        else:
+            return self.model.apply(params, x)
+        hx = jnp.zeros((x.shape[0], plan.hidden * plan.compressed), x.dtype)
+        return plan_apply_parallel(plan, x, hx)
 
     def _loss(self, params, mixture, clean, loss_fn):
         x = self.features(mixture)           # (B, T, M) noisy input

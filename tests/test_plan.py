@@ -137,3 +137,69 @@ class TestFusedKernel:
         h1, y1 = step1(None, pm.init_state(2), chunk)
         np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                    atol=1e-4)
+
+
+class TestMomoPlan:
+    def test_momo3_checkpoint_parity(self, rng):
+        from audio_denoising_tpu.hub import load_pretrained
+        cfg, model, params = load_pretrained("momo3-4d4ea0")
+        pm = PlanModel(model, params)
+        assert pm.plan.delta
+        x = jnp.asarray(rng.standard_normal((2, 9, 22)), jnp.float32)
+        y0, h0 = model.apply(params, x)
+        y1, h1 = pm.apply(None, x)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h0).reshape(2, -1),
+                                   np.asarray(h1), atol=1e-5)
+
+    def test_momo2_random_parity(self, rng):
+        cfg = ModelConfig(arch="MOMO2", num_compressed_bins=3,
+                          hidden_sizes=(16, 16, 16), kernel_sizes=(3, 3, 3),
+                          strides=(2, 2, 2), paddings=(1, 0, 1))
+        model = build_model(cfg, num_bins=22)
+        params = model.init(jax.random.PRNGKey(1))
+        pm = PlanModel(model, params)
+        assert not pm.plan.delta
+        x = jnp.asarray(rng.standard_normal((2, 6, 22)), jnp.float32)
+        y0, _ = model.apply(params, x)
+        y1, _ = pm.apply(None, x)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   atol=1e-5)
+
+    def test_momo3_fused_rejected(self, rng):
+        from audio_denoising_tpu.hub import load_pretrained
+        cfg, model, params = load_pretrained("momo3-4d4ea0")
+        with pytest.raises(ValueError):
+            PlanModel(model, params, fused=True)
+
+    def test_momo3_training_through_plan(self):
+        """TrainingContext uses the momo plan; grads match direct."""
+        import dataclasses
+        from audio_denoising_tpu.config import PRESETS
+        from audio_denoising_tpu.train.context import TrainingContext
+        from audio_denoising_tpu.train.losses import LOSSES
+        cfg = PRESETS["momo3-4d4ea0"]
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, batch_size=2, crop_samples=8192))
+        model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+        ctx = TrainingContext(cfg, model, seed=0)
+        r = np.random.default_rng(0)
+        mix = jnp.asarray(0.2 * r.standard_normal((2, 8192)), jnp.float32)
+        clean = jnp.asarray(0.1 * r.standard_normal((2, 8192)), jnp.float32)
+
+        def loss_direct(p):
+            x = ctx.features(mix)
+            t = x - ctx.features(clean)
+            pred, _ = model.apply(p, x)
+            return LOSSES["MSE"](pred, t)
+
+        def loss_plan(p):
+            return ctx._loss(p, mix, clean, ctx.train_loss)
+
+        l0, g0 = jax.value_and_grad(loss_direct)(ctx.state.params)
+        l1, g1 = jax.value_and_grad(loss_plan)(ctx.state.params)
+        assert abs(float(l0 - l1)) < 1e-5
+        for k in g0:
+            np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                                       atol=1e-3)

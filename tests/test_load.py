@@ -1,0 +1,114 @@
+"""Concurrency/load tests: many clients hammering the batched daemons
+simultaneously — per-stream isolation and ordering under contention."""
+
+import threading
+import time
+from multiprocessing.connection import Client
+
+import numpy as np
+import pytest
+
+
+class TestEngineDaemonLoad:
+    @pytest.fixture(scope="class")
+    def daemon(self):
+        from audio_denoising_tpu.apps.engine_serve import EngineDaemon
+        d = EngineDaemon("gruunet2-good", max_streams=16,
+                         address=("localhost", 27102), tick_ms=0.5)
+        t = threading.Thread(target=d.serve_forever, daemon=True)
+        t.start()
+        time.sleep(0.5)
+        yield d
+        d.stop()
+
+    def test_concurrent_streams_isolated_and_ordered(self, daemon):
+        hop = daemon.cfg.dsp.hop_length
+        n_clients, n_chunks = 8, 10
+        errors = []
+        outputs = {}
+
+        def client(idx):
+            try:
+                rng = np.random.default_rng(idx)
+                sid = f"load-{idx}"
+                with Client(("localhost", 27102)) as c:
+                    c.send(("open", sid))
+                    assert c.recv()[0] == "ok"
+                    outs = []
+                    for _ in range(n_chunks):
+                        chunk = (0.1 * rng.standard_normal(hop)
+                                 ).astype(np.float32)
+                        c.send(("chunk", sid, chunk))
+                        tag, rsid, out = c.recv()
+                        assert tag == "out" and rsid == sid
+                        outs.append(out)
+                    c.send(("close", sid))
+                    assert c.recv()[0] == "ok"
+                outputs[idx] = np.concatenate(outs)
+            except Exception as e:       # surface in main thread
+                errors.append((idx, repr(e)))
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        assert len(outputs) == n_clients
+        assert daemon.engine.active_streams == 0
+
+        # isolation: distinct inputs -> distinct outputs per stream
+        flat = [outputs[i] for i in range(n_clients)]
+        for i in range(1, n_clients):
+            assert not np.allclose(flat[0], flat[i])
+
+    def test_determinism_under_load(self, daemon):
+        """A stream's output must not depend on what other streams do:
+        replay the same chunks while other clients hammer the engine."""
+        hop = daemon.cfg.dsp.hop_length
+        rng = np.random.default_rng(99)
+        chunks = [(0.1 * rng.standard_normal(hop)).astype(np.float32)
+                  for _ in range(6)]
+
+        def run_stream(sid):
+            with Client(("localhost", 27102)) as c:
+                c.send(("open", sid))
+                assert c.recv()[0] == "ok"
+                outs = []
+                for ch in chunks:
+                    c.send(("chunk", sid, ch))
+                    tag, _, out = c.recv()
+                    outs.append(out)
+                c.send(("close", sid))
+                c.recv()
+            return np.concatenate(outs)
+
+        quiet = run_stream("det-quiet")
+
+        stop = threading.Event()
+
+        def noise_client(idx):
+            r = np.random.default_rng(idx)
+            with Client(("localhost", 27102)) as c:
+                c.send(("open", f"noise-{idx}"))
+                c.recv()
+                while not stop.is_set():
+                    c.send(("chunk", f"noise-{idx}",
+                            (0.2 * r.standard_normal(hop))
+                            .astype(np.float32)))
+                    c.recv()
+                c.send(("close", f"noise-{idx}"))
+                c.recv()
+
+        noisy_threads = [threading.Thread(target=noise_client, args=(i,))
+                         for i in range(3)]
+        for t in noisy_threads:
+            t.start()
+        try:
+            busy = run_stream("det-busy")
+        finally:
+            stop.set()
+            for t in noisy_threads:
+                t.join(timeout=60)
+        np.testing.assert_allclose(quiet, busy, atol=1e-5)

@@ -290,3 +290,25 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         return FusedHopState(ring2, ola2, hx2), out
 
     return step
+
+
+def make_fused_hop_sharded(cfg: Config, plan, mesh, interpret: bool = False,
+                           block_b: int = 128, hops_per_call: int = 1):
+    """Multi-chip fused hop: shard_map over the mesh's first axis — each
+    device runs the one-kernel hop on its shard of the stream slots
+    (manual partitioning is the standard way to compose pallas_call with
+    a mesh; there is no cross-chip communication in the hop)."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    step = make_fused_hop(cfg, plan, interpret=interpret, block_b=block_b,
+                          hops_per_call=hops_per_call)
+    axis = mesh.axis_names[0]
+    state_spec = FusedHopState(ring=P(axis), ola=P(axis), hx=P(axis))
+    chunk_spec = P(None, axis) if hops_per_call > 1 else P(axis)
+
+    return shard_map(step, mesh=mesh,
+                     in_specs=(state_spec, chunk_spec),
+                     out_specs=(state_spec, chunk_spec),
+                     check_rep=False)

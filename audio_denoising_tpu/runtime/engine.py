@@ -140,11 +140,16 @@ class StreamEngine:
         else:
             raise ValueError(f"unknown engine mode {mode!r}")
 
+        if mesh is not None and mode == "fused":
+            # pallas_call is not auto-partitionable: re-wrap via shard_map
+            # (each device runs the kernel on its slot shard).
+            from audio_denoising_tpu.ops.pallas.fused_hop import (
+                make_fused_hop_sharded)
+            from audio_denoising_tpu.runtime.plan import build_cell_plan
+            plan = build_cell_plan(model, params)
+            hop_sharded = make_fused_hop_sharded(cfg, plan, mesh)
+            step = lambda params, state, chunk: hop_sharded(state, chunk)
         if mesh is not None:
-            if mode == "fused":
-                raise ValueError(
-                    "mesh sharding is not supported with mode='fused' "
-                    "(pallas_call is not auto-partitionable); use 'fast'")
             from jax.sharding import NamedSharding, PartitionSpec as P
             repl = NamedSharding(mesh, P())
             shard = NamedSharding(mesh, P(mesh.axis_names[0]))

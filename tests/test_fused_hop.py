@@ -133,3 +133,48 @@ class TestResidentMultiHop:
         bad = jnp.zeros((3, 2, cfg.dsp.hop_length))
         with pytest.raises(AssertionError):
             multi(s, bad)
+
+
+class TestShardedFusedHop:
+    def test_sharded_matches_single(self, setup, rng):
+        import jax
+        from jax.sharding import Mesh
+        from audio_denoising_tpu.ops.pallas.fused_hop import (
+            fused_hop_init_state, make_fused_hop, make_fused_hop_sharded)
+        cfg, model, params, plan = setup
+        mesh = Mesh(np.asarray(jax.devices()), ("streams",))
+        single = make_fused_hop(cfg, plan, interpret=True, block_b=8)
+        sharded = jax.jit(make_fused_hop_sharded(cfg, plan, mesh,
+                                                 interpret=True, block_b=8))
+        B, hop = 16, cfg.dsp.hop_length
+        s = fused_hop_init_state(cfg, plan, B)
+        chunk = jnp.asarray(0.1 * rng.standard_normal((B, hop)), jnp.float32)
+        s1, o1 = single(s, chunk)
+        s2, o2 = sharded(s, chunk)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s1.hx), np.asarray(s2.hx),
+                                   atol=1e-6)
+
+    def test_engine_fused_mesh_mode(self, setup, rng):
+        import jax
+        from jax.sharding import Mesh
+        import audio_denoising_tpu.ops.pallas.fused_hop as fh
+        cfg, model, params, plan = setup
+        mesh = Mesh(np.asarray(jax.devices()), ("streams",))
+        orig = fh.make_fused_hop
+        try:
+            fh.make_fused_hop = lambda c, p, **kw: orig(
+                c, p, interpret=True,
+                block_b=kw.get("block_b", 2),
+                hops_per_call=kw.get("hops_per_call", 1))
+            from audio_denoising_tpu.runtime.engine import StreamEngine
+            eng = StreamEngine(cfg, model, params, mode="fused",
+                               max_streams=16, mesh=mesh)
+            eng.add_stream("s")
+            hop = cfg.dsp.hop_length
+            out = eng.process(
+                {"s": (0.1 * rng.standard_normal(hop)).astype(np.float32)})
+            assert out["s"].shape == (hop,)
+            assert np.all(np.isfinite(out["s"]))
+        finally:
+            fh.make_fused_hop = orig

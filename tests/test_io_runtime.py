@@ -244,7 +244,9 @@ class TestMeshEngine:
         np.testing.assert_allclose(o1["a"], o2["a"], atol=1e-6)
         np.testing.assert_allclose(o1["b"], o2["b"], atol=1e-6)
 
-    def test_mesh_rejects_fused(self):
+    def test_mesh_fused_constructs(self):
+        """mesh + fused composes via shard_map (kernel execution is
+        covered in test_fused_hop with interpret mode)."""
         import jax
         from jax.sharding import Mesh
         from audio_denoising_tpu.config import PRESETS
@@ -254,6 +256,6 @@ class TestMeshEngine:
         model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
         params = model.init(jax.random.PRNGKey(0))
         mesh = Mesh(np.asarray(jax.devices()), ("streams",))
-        with pytest.raises(ValueError):
-            StreamEngine(cfg, model, params, mode="fused", max_streams=16,
-                         mesh=mesh)
+        eng = StreamEngine(cfg, model, params, mode="fused", max_streams=16,
+                           mesh=mesh)
+        assert eng.mode == "fused" and eng.mesh is mesh

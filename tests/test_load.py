@@ -112,3 +112,59 @@ class TestEngineDaemonLoad:
             for t in noisy_threads:
                 t.join(timeout=60)
         np.testing.assert_allclose(quiet, busy, atol=1e-5)
+
+
+class TestFailureIsolation:
+    def test_socket_daemon_survives_malformed_messages(self):
+        """A client sending garbage kills only its own connection
+        (server.py:193-196 behavior); the daemon keeps serving."""
+        from audio_denoising_tpu.apps.serve import SocketDaemon
+        daemon = SocketDaemon("gruunet2-good", ("localhost", 27201))
+        t = threading.Thread(target=daemon.serve_forever, daemon=True)
+        t.start()
+        time.sleep(0.5)
+        try:
+            with Client(("localhost", 27201)) as bad:
+                bad.send({"not": "audio"})       # unprocessable payload
+                # daemon may close the connection; either way it survives
+                try:
+                    bad.recv()
+                except (EOFError, OSError):
+                    pass
+            time.sleep(0.2)
+            with Client(("localhost", 27201)) as good:
+                x = np.zeros((1024, 1), np.float32)
+                good.send(x)
+                y = good.recv()
+                assert y.shape == x.shape
+        finally:
+            daemon.stop()
+
+    def test_ws_daemon_rejects_non_websocket(self):
+        """Plain HTTP (no upgrade) gets a 400 and the daemon lives."""
+        import socket as socketlib
+        from audio_denoising_tpu.apps.ws_serve import WSDaemon
+        daemon = WSDaemon("gruunet2-good", "localhost", 27202,
+                          max_streams=2)
+        t = threading.Thread(target=daemon.serve_forever, daemon=True)
+        t.start()
+        time.sleep(0.5)
+        try:
+            s = socketlib.create_connection(("localhost", 27202), timeout=5)
+            s.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+            resp = s.recv(1024)
+            assert b"400" in resp
+            s.close()
+            # still serving proper clients
+            from tests.test_websocket import _client_connect, _client_send
+            from audio_denoising_tpu.io import websocket as ws
+            sock = _client_connect(("localhost", 27202))
+            hop = daemon.hop
+            pcm = np.zeros(hop, np.int16)
+            _client_send(sock, pcm.tobytes())
+            sock.settimeout(30)
+            fin, op, payload = ws.recv_frame(sock)
+            assert op == ws.OP_BINARY and len(payload) == hop * 2
+            sock.close()
+        finally:
+            daemon.stop()

@@ -28,13 +28,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 def make_fused_cell(plan, interpret: bool = False, block_b: int = 128):
-    """-> ``cell(x (B, F), hx (B, H)) -> (y (B, F), hx' (B, H))``.
+    """-> ``cell(x (B, F), hx (B, H)) -> (y (B, F), hx' (B, H))``, or for
+    delta plans (MOMO3) ``cell(x, hx, prev) -> (y, hx')`` (the caller
+    carries prev' = x).
 
     B is padded to a multiple of ``block_b`` internally (zeros rows are
     computed and discarded; the weights make that cheap)."""
     L = len(plan.down_mats)
     n = plan.hidden * plan.compressed
-    f_in = plan.down_mats[0].shape[0]
+    delta = plan.delta
+    f_in = plan.down_mats[0].shape[0] // (2 if delta else 1)
     f_out = plan.up_h_mats[-1].shape[1]
 
     # Flatten weights in a fixed order; biases as (1, n) rows (TPU wants
@@ -54,6 +57,9 @@ def make_fused_cell(plan, interpret: bool = False, block_b: int = 128):
 
     def kernel(x_ref, hx_ref, *refs):
         y_ref, hxo_ref = refs[-2], refs[-1]
+        if delta:
+            prev_ref, refs = refs[0], refs[1:]
+            y_ref, hxo_ref = refs[-2], refs[-1]
         w = list(refs[:-2])
         wi = 0
 
@@ -63,8 +69,20 @@ def make_fused_cell(plan, interpret: bool = False, block_b: int = 128):
         h = x_ref[:]
         skips = [h]
         for i in range(L):
-            h = jnp.maximum(dot(h, w[wi]) + w[wi + 1][0], 0.0)
-            wi += 2
+            if i == 0 and delta:
+                # joint-affine level 0: split the 2F-row matrix instead of
+                # materializing concat(x, prev)
+                w0 = w[0][:]
+                h = jnp.maximum(
+                    jnp.dot(h, w0[:f_in],
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(prev_ref[:], w0[f_in:],
+                              preferred_element_type=jnp.float32)
+                    + w[1][0], 0.0)
+                wi += 2
+            else:
+                h = jnp.maximum(dot(h, w[wi]) + w[wi + 1][0], 0.0)
+                wi += 2
             skips.append(h)
 
         gate_x = h
@@ -90,12 +108,15 @@ def make_fused_cell(plan, interpret: bool = False, block_b: int = 128):
             h = jnp.maximum(out, 0.0) if i != L - 1 else out
         y_ref[:] = h
 
-    def cell(x: jnp.ndarray, hx: jnp.ndarray):
+    def cell(x: jnp.ndarray, hx: jnp.ndarray,
+             prev: jnp.ndarray = None):
         b = x.shape[0]
         bp = _round_up(b, block_b)
         if bp != b:
             x = jnp.pad(x, ((0, bp - b), (0, 0)))
             hx = jnp.pad(hx, ((0, bp - b), (0, 0)))
+            if delta:
+                prev = jnp.pad(prev, ((0, bp - b), (0, 0)))
         grid = (bp // block_b,)
 
         batch_spec = lambda width: pl.BlockSpec(
@@ -105,18 +126,20 @@ def make_fused_cell(plan, interpret: bool = False, block_b: int = 128):
                          memory_space=pltpu.VMEM)
             for wt in weights
         ]
+        extra = [prev] if delta else []
+        extra_specs = [batch_spec(f_in)] if delta else []
         y, hxo = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[batch_spec(f_in), batch_spec(hx.shape[1])]
-            + weight_specs,
+            + extra_specs + weight_specs,
             out_specs=(batch_spec(f_out), batch_spec(hx.shape[1])),
             out_shape=(
                 jax.ShapeDtypeStruct((bp, f_out), jnp.float32),
                 jax.ShapeDtypeStruct((bp, hx.shape[1]), jnp.float32),
             ),
             interpret=interpret,
-        )(x, hx, *weights)
+        )(x, hx, *extra, *weights)
         if bp != b:
             y, hxo = y[:b], hxo[:b]
         return y, hxo

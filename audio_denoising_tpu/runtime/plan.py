@@ -350,12 +350,12 @@ class PlanModel:
         self.fused = fused
         self.interpret = interpret
         if fused:
-            if self.plan.delta:
-                raise ValueError("fused kernel does not support delta "
-                                 "(MOMO3) plans yet; use fused=False")
             from audio_denoising_tpu.ops.pallas.gruunet_cell import (
                 make_fused_cell)
             self._cell = make_fused_cell(self.plan, interpret=interpret)
+        elif self.plan.delta:
+            self._cell = lambda x, hx, prev: plan_cell(self.plan, x, hx,
+                                                       prev=prev)
         else:
             self._cell = lambda x, hx: plan_cell(self.plan, x, hx)
 

@@ -167,11 +167,21 @@ class TestMomoPlan:
         np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                    atol=1e-5)
 
-    def test_momo3_fused_rejected(self, rng):
+    def test_momo3_fused_cell_parity(self, rng):
         from audio_denoising_tpu.hub import load_pretrained
+        from audio_denoising_tpu.runtime.plan import plan_cell
         cfg, model, params = load_pretrained("momo3-4d4ea0")
-        with pytest.raises(ValueError):
-            PlanModel(model, params, fused=True)
+        pm = PlanModel(model, params, fused=True, interpret=True)
+        x = jnp.asarray(rng.standard_normal((5, 22)), jnp.float32)
+        prev = jnp.asarray(rng.standard_normal((5, 22)), jnp.float32)
+        hx = jnp.asarray(0.1 * rng.standard_normal((5, 48)), jnp.float32)
+        y0, h0 = plan_cell(pm.plan, x, hx, prev=prev)
+        y1, h1 = pm._cell(x, hx, prev)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   atol=1e-5)
+        ym, (hm, _pv) = model.cell(params, x, (hx.reshape(5, 16, 3), prev))
+        np.testing.assert_allclose(np.asarray(ym), np.asarray(y1),
+                                   atol=1e-5)
 
     def test_momo3_training_through_plan(self):
         """TrainingContext uses the momo plan; grads match direct."""

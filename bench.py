@@ -68,21 +68,19 @@ def main() -> None:
     chunks = jnp.asarray(rng.standard_normal((K, N_STREAMS, hop)) * 0.1,
                          jnp.float32)
 
-    variant = "fused_hop"
+    variant = "fused_hop_resident"
     try:
         from audio_denoising_tpu.ops.pallas.fused_hop import (
             fused_hop_init_state, make_fused_hop)
         from audio_denoising_tpu.runtime.plan import build_cell_plan
         plan = build_cell_plan(model, params)
-        hop_step = make_fused_hop(cfg, plan)
+        # K hops per pallas_call, state resident in VMEM scratch across
+        # grid steps (bit-exact vs sequential single-hop kernels).
+        multi = jax.jit(make_fused_hop(cfg, plan, hops_per_call=K))
         state0 = fused_hop_init_state(cfg, plan, N_STREAMS)
 
-        @jax.jit
         def run_k(state, chunks):
-            def body(s, c):
-                s, out = hop_step(s, c)
-                return s, out
-            return jax.lax.scan(body, state, chunks)
+            return multi(state, chunks)
 
         for _ in range(3):
             st2, out = run_k(state0, chunks)

@@ -63,6 +63,7 @@ COMMANDS = {
     "loopback": "audio_denoising_tpu.apps.loopback",
     "profile": "audio_denoising_tpu.apps.profile_app",
     "ws": "audio_denoising_tpu.apps.ws_serve",
+    "eval": "audio_denoising_tpu.apps.evaluate",
 }
 
 

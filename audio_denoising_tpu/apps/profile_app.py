@@ -25,6 +25,8 @@ def main(argv=None) -> int:
                    help="use the fused Pallas cell kernel")
     p.add_argument("--trace", default=None,
                    help="write an XLA device trace to this directory")
+    p.add_argument("--stages", action="store_true",
+                   help="also time front-end / model / back-end separately")
     args = p.parse_args(argv)
 
     import jax
@@ -78,6 +80,46 @@ def main(argv=None) -> int:
         "amortized_ms_per_hop": round(amort, 4),
         "aggregate_realtime_x": round(B * hop_ms / amort, 1),
     }
+    if args.stages:
+        from audio_denoising_tpu.ops import (
+            hann_window, mel_filterbank, inverse_mel_matrix)
+        from audio_denoising_tpu.ops.mel import mel_scale, inverse_mel_scale
+        dsp = cfg.dsp
+        fb = mel_filterbank(dsp.n_stft, dsp.n_mels, dsp.sample_rate)
+        inv = inverse_mel_matrix(dsp.n_stft, dsp.n_mels, dsp.sample_rate)
+        win = hann_window(dsp.n_fft)
+        ring = jnp.zeros((B, dsp.n_fft))
+
+        def frontend(x):
+            spec = jnp.fft.rfft(x * win, axis=-1)
+            return jnp.log1p(mel_scale(jnp.abs(spec)[..., None], fb))
+
+        def modelstage(m):
+            y, _ = model.apply(params, jnp.swapaxes(m, -1, -2),
+                               model.init_state(B))
+            return y
+
+        def backend(m):
+            lin = inverse_mel_scale(jnp.maximum(jnp.expm1(m), 0), inv)
+            return jnp.fft.irfft(lin[..., 0] + 0j, n=dsp.n_fft, axis=-1)
+
+        mel_in = jnp.zeros((B, dsp.n_mels, 1))
+        stage_ms = {}
+        for name, fn, arg in (("frontend", frontend, ring),
+                              ("model", modelstage, mel_in),
+                              ("backend", backend, mel_in)):
+            def make_scan(chain, fn=fn, arg=arg):
+                @jax.jit
+                def run(a):
+                    def body(c, _):
+                        out = fn(a)
+                        return c, jnp.sum(out)
+                    return jax.lax.scan(body, 0.0, None, length=chain)
+                return lambda: run(arg)
+            stage_ms[name] = round(
+                prof.measure_amortized(make_scan, chain=args.hops), 4)
+        report["stage_ms_per_hop"] = stage_ms
+
     if args.trace:
         with device_trace(args.trace):
             for _ in range(5):

@@ -37,6 +37,27 @@ def _info(argv) -> int:
     return 0
 
 
+def _models(argv) -> int:
+    import json
+    import os
+    from audio_denoising_tpu.config import PRESETS
+    from audio_denoising_tpu.hub import CHECKPOINT_DIR, _CKPT_ALIASES
+    rows = {}
+    for name, cfg in sorted(PRESETS.items()):
+        ckpt = _CKPT_ALIASES.get(name, name)
+        rows[name] = {
+            "arch": cfg.model.arch,
+            "sample_rate": cfg.dsp.sample_rate,
+            "n_fft": cfg.dsp.n_fft,
+            "hop": cfg.dsp.hop_length,
+            "reconstruction": cfg.dsp.reconstruction,
+            "weights": os.path.exists(
+                os.path.join(CHECKPOINT_DIR, f"{ckpt}.npz")),
+        }
+    print(json.dumps(rows, indent=2))
+    return 0
+
+
 def _convert(argv) -> int:
     import argparse
     p = argparse.ArgumentParser(prog="audio_denoising_tpu convert")
@@ -70,7 +91,7 @@ COMMANDS = {
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
-        names = ", ".join(list(COMMANDS) + ["convert", "info"])
+        names = ", ".join(list(COMMANDS) + ["convert", "info", "models"])
         print(f"usage: python -m audio_denoising_tpu <command> [...]\n"
               f"commands: {names}")
         return 0 if argv else 2
@@ -80,6 +101,8 @@ def main(argv=None) -> int:
         enable_compilation_cache()
     if cmd == "info":
         return _info(rest)
+    if cmd == "models":
+        return _models(rest)
     if cmd == "convert":
         return _convert(rest)
     if cmd in COMMANDS:

@@ -9,6 +9,7 @@ every tick advances ALL active streams in a single jitted launch.
 Protocol (multiprocessing.connection, length-prefixed pickle):
 
     ("open",  stream_id)             -> ("ok", stream_id, slot)
+                                        | ("err", stream_id, reason)
     ("chunk", stream_id, float32[hop]) -> ("out", stream_id, float32[hop])
     ("close", stream_id)             -> ("ok", stream_id, -1)
     ("stats",)                       -> ("stats", metrics_summary_dict)
@@ -84,11 +85,13 @@ class EngineDaemon:
                         outs = self.engine.process(live) if live else {}
                 for sid in batch:
                     conn = conns[sid]
+                    lock = getattr(conn, "_adt_send_lock", None)
                     try:
-                        if sid in outs:
-                            conn.send(("out", sid, outs[sid]))
-                        else:
-                            conn.send(("err", sid, "unknown stream"))
+                        with (lock or threading.Lock()):
+                            if sid in outs:
+                                conn.send(("out", sid, outs[sid]))
+                            else:
+                                conn.send(("err", sid, "unknown stream"))
                     except OSError:
                         pass
                 self.metrics.count("chunks", len(batch))
@@ -97,6 +100,10 @@ class EngineDaemon:
     # -- connections ---------------------------------------------------------
     def _handle(self, conn) -> None:
         owned = set()
+        # Connection.send is not thread-safe; the tick thread replies on
+        # the same connection, so every send goes through this lock.
+        send_lock = threading.Lock()
+        conn._adt_send_lock = send_lock
         try:
             while not self._stop.is_set():
                 try:
@@ -106,10 +113,16 @@ class EngineDaemon:
                 op = msg[0]
                 if op == "open":
                     sid = msg[1]
-                    with self._lock:
-                        slot = self.engine.add_stream(sid)
+                    try:
+                        with self._lock:
+                            slot = self.engine.add_stream(sid)
+                    except (RuntimeError, KeyError) as e:
+                        with send_lock:
+                            conn.send(("err", sid, str(e)))
+                        continue
                     owned.add(sid)
-                    conn.send(("ok", sid, slot))
+                    with send_lock:
+                        conn.send(("ok", sid, slot))
                 elif op == "chunk":
                     sid, chunk = msg[1], np.asarray(msg[2], np.float32)
                     self._requests.put((sid, chunk, conn))
@@ -119,13 +132,16 @@ class EngineDaemon:
                         if sid in self.engine.slots:
                             self.engine.remove_stream(sid)
                     owned.discard(sid)
-                    conn.send(("ok", sid, -1))
+                    with send_lock:
+                        conn.send(("ok", sid, -1))
                 elif op == "stats":
-                    conn.send(("stats", {
-                        "active_streams": self.engine.active_streams,
-                        **self.metrics.summary()}))
+                    with send_lock:
+                        conn.send(("stats", {
+                            "active_streams": self.engine.active_streams,
+                            **self.metrics.summary()}))
                 else:
-                    conn.send(("err", None, f"unknown op {op!r}"))
+                    with send_lock:
+                        conn.send(("err", None, f"unknown op {op!r}"))
         finally:
             with self._lock:
                 for sid in owned:    # eviction on disconnect

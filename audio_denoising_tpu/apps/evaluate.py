@@ -27,21 +27,22 @@ def evaluate(spec: str, data_dir: str, n_examples: int = 16,
 
     cfg, model, params = load_pretrained(spec)
     sr = cfg.dsp.sample_rate
-    crop = int(crop_seconds * sr)
     paths = sorted(glob.glob(os.path.join(data_dir, "**", "*.wav"),
                              recursive=True))
     if not paths:
         raise FileNotFoundError(f"no WAVs under {data_dir}")
+
+    # corpus may be at a different rate (the reference cats corpus is
+    # 8 kHz): crop in SOURCE samples, then resample both sides to the
+    # model's rate before comparing
+    from audio_denoising_tpu.io.wavio import read_wav
+    from audio_denoising_tpu.ops.resample import resample
+    src_sr = read_wav(paths[0])[1]
+    crop = int(crop_seconds * src_sr)
     sampler = MixtureSampler(paths, crop_samples=crop,
                              batch_size=n_examples,
                              noise_gain=(noise_gain, noise_gain), seed=seed)
     mixture, clean = sampler.sample()
-
-    # corpus may be at a different rate (the reference cats corpus is
-    # 8 kHz): resample both sides to the model's rate before comparing
-    from audio_denoising_tpu.io.wavio import read_wav
-    from audio_denoising_tpu.ops.resample import resample
-    src_sr = read_wav(paths[0])[1]
     if src_sr != sr:
         mixture = np.asarray(resample(jnp.asarray(mixture), src_sr, sr))
         clean = np.asarray(resample(jnp.asarray(clean), src_sr, sr))

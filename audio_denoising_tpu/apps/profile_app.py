@@ -109,13 +109,17 @@ def main(argv=None) -> int:
                               ("model", modelstage, mel_in),
                               ("backend", backend, mel_in)):
             def make_scan(chain, fn=fn, arg=arg):
+                # inputs ride xs (distinct per iteration from XLA's view)
+                # so loop-invariant code motion can't hoist the stage out
+                xs = jnp.broadcast_to(arg[None], (chain,) + arg.shape)
+
                 @jax.jit
-                def run(a):
-                    def body(c, _):
-                        out = fn(a)
-                        return c, jnp.sum(out)
-                    return jax.lax.scan(body, 0.0, None, length=chain)
-                return lambda: run(arg)
+                def run(xs):
+                    def body(c, a):
+                        out = fn(a + c)     # consume carry: no hoisting
+                        return jnp.sum(out) * 1e-30, ()
+                    return jax.lax.scan(body, 0.0, xs)
+                return lambda: run(xs)
             stage_ms[name] = round(
                 prof.measure_amortized(make_scan, chain=args.hops), 4)
         report["stage_ms_per_hop"] = stage_ms

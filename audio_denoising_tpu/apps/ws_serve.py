@@ -109,20 +109,32 @@ class WSDaemon:
                 pending = rest
 
     # -- per-connection ------------------------------------------------------
-    def _handle(self, conn: socket.socket):
+    def _handle(self, raw_conn: socket.socket):
         sid = uuid.uuid4().hex
+        conn = raw_conn
+        closed = threading.Event()   # terminates the sender thread
         try:
-            if ws.handshake(conn) is None:
+            hs = ws.handshake(raw_conn)
+            if hs is None:
                 return
-            with self._lock:
-                self.engine.add_stream(sid)
+            _path, leftover = hs
+            conn = ws.Buffered(raw_conn, leftover)
+            try:
+                with self._lock:
+                    self.engine.add_stream(sid)
+            except RuntimeError as e:          # engine full
+                ws.send_frame(conn, json.dumps(
+                    {"error": str(e)}).encode(), ws.OP_TEXT)
+                # close code 1013 "try again later"
+                ws.send_frame(conn, b"\x03\xf5busy", ws.OP_CLOSE)
+                return
             out_q: "queue.Queue[np.ndarray]" = queue.Queue()
 
             def sink(hop_out: np.ndarray):
                 out_q.put(hop_out)
 
             def sender():
-                while not self._stop.is_set():
+                while not (self._stop.is_set() or closed.is_set()):
                     try:
                         out = out_q.get(timeout=0.25)
                     except queue.Empty:
@@ -151,6 +163,7 @@ class WSDaemon:
         except (ConnectionError, OSError):
             pass
         finally:
+            closed.set()                   # terminate the sender thread
             with self._lock:
                 if sid in self.engine.slots:
                     self.engine.remove_stream(sid)

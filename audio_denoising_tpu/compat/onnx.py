@@ -93,14 +93,15 @@ def _parse_tensor(buf: bytes) -> Tensor:
                 floats.extend(struct.unpack(f"<{len(val) // 4}f", val))
             else:
                 floats.append(struct.unpack("<f", val)[0])
-        elif field == 7:   # int64_data
+        elif field == 7:   # int64_data (sign-extend: negatives are 10-byte
+            # varints encoding v + 2^64)
             if wire == 2:
                 p = 0
                 while p < len(val):
                     v, p = _read_varint(val, p)
-                    ints.append(v)
+                    ints.append(v - (1 << 64) if v >= (1 << 63) else v)
             else:
-                ints.append(val)
+                ints.append(val - (1 << 64) if val >= (1 << 63) else val)
         elif field == 8:
             name = val.decode()
         elif field == 9:

@@ -20,6 +20,38 @@ OP_CONT, OP_TEXT, OP_BINARY, OP_CLOSE, OP_PING, OP_PONG = \
     0x0, 0x1, 0x2, 0x8, 0x9, 0xA
 
 
+class Buffered:
+    """Socket wrapper that (a) drains pre-read bytes (e.g. a first frame
+    the client pipelined behind the upgrade request) before hitting the
+    socket and (b) serializes writes — frame sends may come from several
+    threads (audio sender, stats replies, pong answers) and an interleaved
+    frame corrupts the stream. Satisfies the .recv/.sendall/.settimeout/
+    .close surface the frame codec uses."""
+
+    def __init__(self, sock: socket.socket, initial: bytes = b""):
+        import threading
+        self._sock = sock
+        self._buf = bytearray(initial)
+        self._wlock = threading.Lock()
+
+    def recv(self, n: int) -> bytes:
+        if self._buf:
+            out = bytes(self._buf[:n])
+            del self._buf[:len(out)]
+            return out
+        return self._sock.recv(n)
+
+    def sendall(self, data: bytes) -> None:
+        with self._wlock:
+            self._sock.sendall(data)
+
+    def settimeout(self, t) -> None:
+        self._sock.settimeout(t)
+
+    def close(self) -> None:
+        self._sock.close()
+
+
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
     buf = b""
     while len(buf) < n:
@@ -30,9 +62,11 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
     return buf
 
 
-def handshake(sock: socket.socket) -> Optional[str]:
-    """Perform the server side of the HTTP->WS upgrade. Returns the request
-    path, or None if the request is not a websocket upgrade."""
+def handshake(sock: socket.socket) -> Optional[Tuple[str, bytes]]:
+    """Perform the server side of the HTTP->WS upgrade. Returns
+    ``(request_path, leftover_bytes)`` — leftover is anything the client
+    pipelined behind the upgrade request (wrap the socket in ``Buffered``
+    with it) — or None if the request is not a websocket upgrade."""
     data = b""
     while b"\r\n\r\n" not in data:
         part = sock.recv(4096)
@@ -41,7 +75,8 @@ def handshake(sock: socket.socket) -> Optional[str]:
         data += part
         if len(data) > 65536:
             return None
-    head = data.split(b"\r\n\r\n", 1)[0].decode("latin-1")
+    head, leftover = data.split(b"\r\n\r\n", 1)
+    head = head.decode("latin-1")
     lines = head.split("\r\n")
     path = lines[0].split(" ")[1] if len(lines[0].split(" ")) > 1 else "/"
     headers = {}
@@ -60,7 +95,7 @@ def handshake(sock: socket.socket) -> Optional[str]:
         "Upgrade: websocket\r\n"
         "Connection: Upgrade\r\n"
         f"Sec-WebSocket-Accept: {accept}\r\n\r\n").encode())
-    return path
+    return path, leftover
 
 
 def send_frame(sock: socket.socket, payload: bytes,

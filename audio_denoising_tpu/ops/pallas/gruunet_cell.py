@@ -64,7 +64,10 @@ def make_fused_cell(plan, interpret: bool = False, block_b: int = 128):
         wi = 0
 
         def dot(a, m_ref):
-            return jnp.dot(a, m_ref[:], preferred_element_type=jnp.float32)
+            # HIGHEST: default bf16 MXU passes cost ~1e-2 through the
+            # matmul chain (see fused_hop.py)
+            return jnp.dot(a, m_ref[:], preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
 
         h = x_ref[:]
         skips = [h]
@@ -75,9 +78,11 @@ def make_fused_cell(plan, interpret: bool = False, block_b: int = 128):
                 w0 = w[0][:]
                 h = jnp.maximum(
                     jnp.dot(h, w0[:f_in],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
                     + jnp.dot(prev_ref[:], w0[f_in:],
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
                     + w[1][0], 0.0)
                 wi += 2
             else:

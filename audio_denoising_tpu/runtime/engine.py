@@ -128,27 +128,23 @@ class StreamEngine:
             self.state = webrtc_init_state(cfg, model, self.n)
             self._zero_one = webrtc_init_state(cfg, model, 1)
         elif mode == "fused":
-            # one-kernel Pallas hop (GRUUNet family only); params baked in
+            # one-kernel Pallas hop (GRUUNet family only); params baked in.
+            # pallas_call is not auto-partitionable, so with a mesh the
+            # kernel is wrapped in shard_map (each device runs its shard).
             from audio_denoising_tpu.ops.pallas.fused_hop import (
-                fused_hop_init_state, make_fused_hop)
+                fused_hop_init_state, make_fused_hop, make_fused_hop_sharded)
             from audio_denoising_tpu.runtime.plan import build_cell_plan
             plan = build_cell_plan(model, params)
-            hop_step = make_fused_hop(cfg, plan)
+            if mesh is not None:
+                hop_step = make_fused_hop_sharded(cfg, plan, mesh)
+            else:
+                hop_step = make_fused_hop(cfg, plan)
             step = lambda params, state, chunk: hop_step(state, chunk)
             self.state = fused_hop_init_state(cfg, plan, self.n)
             self._zero_one = fused_hop_init_state(cfg, plan, 1)
         else:
             raise ValueError(f"unknown engine mode {mode!r}")
 
-        if mesh is not None and mode == "fused":
-            # pallas_call is not auto-partitionable: re-wrap via shard_map
-            # (each device runs the kernel on its slot shard).
-            from audio_denoising_tpu.ops.pallas.fused_hop import (
-                make_fused_hop_sharded)
-            from audio_denoising_tpu.runtime.plan import build_cell_plan
-            plan = build_cell_plan(model, params)
-            hop_sharded = make_fused_hop_sharded(cfg, plan, mesh)
-            step = lambda params, state, chunk: hop_sharded(state, chunk)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             repl = NamedSharding(mesh, P())
@@ -166,6 +162,30 @@ class StreamEngine:
         else:
             self._step = jax.jit(step, donate_argnums=(1,)) if jit else step
         self._reset_slot = jax.jit(self._reset_slot_impl, donate_argnums=(0,))
+
+        def masked_step(params, state, batch, mask):
+            # advance all slots, but COMMIT state only where a chunk
+            # actually arrived (mask) — a stream's recurrence must not be
+            # mutated by the zero inputs of other streams' ticks.
+            new_state, out = step(params, state, batch)
+            committed = jax.tree.map(
+                lambda new, old: jnp.where(
+                    mask.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+                new_state, state)
+            return committed, out
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard1 = NamedSharding(mesh, P(mesh.axis_names[0]))
+            repl1 = NamedSharding(mesh, P())
+            state_sh1 = jax.tree.map(lambda _: shard1, self.state)
+            self._masked_step = jax.jit(
+                masked_step,
+                in_shardings=(jax.tree.map(lambda _: repl1, params),
+                              state_sh1, shard1, shard1),
+                out_shardings=(state_sh1, shard1))
+        else:
+            self._masked_step = jax.jit(masked_step) if jit else masked_step
 
         self.slots: Dict[str, int] = {}
         self._free = list(range(self.n - 1, -1, -1))
@@ -197,12 +217,21 @@ class StreamEngine:
     # -- data path -----------------------------------------------------------
     def process(self, chunks: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         """chunks: {stream_id: (hop,) float32} -> same keyed outputs.
-        All N slots advance in one jitted launch."""
+
+        One jitted launch advances every slot WITH a chunk this tick; the
+        other slots' state is masked back to its previous value — a stream
+        must advance only when its audio arrives, or its recurrent state
+        would be corrupted by zero-input steps whenever the tick scheduler
+        batches other streams without it."""
         batch = np.zeros((self.n, self.hop), np.float32)
+        mask = np.zeros((self.n,), np.bool_)
         for sid, chunk in chunks.items():
-            batch[self.slots[sid]] = chunk
-        self.state, out = self._step(self.params, self.state,
-                                     jnp.asarray(batch))
+            slot = self.slots[sid]
+            batch[slot] = chunk
+            mask[slot] = True
+        self.state, out = self._masked_step(self.params, self.state,
+                                            jnp.asarray(batch),
+                                            jnp.asarray(mask))
         out = np.asarray(out)
         return {sid: out[self.slots[sid]] for sid in chunks}
 

@@ -31,14 +31,22 @@ class TrainState(NamedTuple):
 
 
 def make_feature_fn(cfg: Config):
-    """waveform (B, L) -> mel log1p frames (B, T, M), on device."""
+    """waveform (B, L) -> log1p frames (B, T, F), on device.
+
+    domain='mel': mel-filterbank features (the recurrent models' input).
+    domain='raw': plain log1p magnitude at n_stft bins (the 2D U-Nets'
+    'clamped raw-spectrogram' era, SURVEY §2 #3)."""
     dsp = cfg.dsp
-    fb = mel_filterbank(dsp.n_stft, dsp.n_mels, dsp.sample_rate)
     win = hann_window(dsp.win)
+    fb = (mel_filterbank(dsp.n_stft, dsp.n_mels, dsp.sample_rate)
+          if dsp.domain == "mel" else None)
 
     def features(wave: jnp.ndarray) -> jnp.ndarray:
         spec = stft(wave, dsp.n_fft, dsp.hop_length, dsp.win, window=win)
-        return jnp.swapaxes(jnp.log1p(mel_scale(jnp.abs(spec), fb)), -1, -2)
+        mag = jnp.abs(spec)
+        if fb is not None:
+            mag = mel_scale(mag, fb)
+        return jnp.swapaxes(jnp.log1p(mag), -1, -2)
 
     return features
 
@@ -90,6 +98,15 @@ class TrainingContext:
             plan = build_cell_plan(self.model, params)
         elif hasattr(self.model, "geo"):                  # MOMO2/MOMO3
             plan = build_cell_plan_momo(self.model, params)
+        elif hasattr(self.model, "compatible_frames"):    # stateless U-Nets
+            # (B, T, F) frames -> (B, F, T) image, padded to a frame count
+            # the fixed-output_padding decoder accepts, cropped back.
+            img = jnp.swapaxes(x, -1, -2)
+            t = img.shape[-1]
+            t_pad = self.model.compatible_frames(t)
+            img = jnp.pad(img, ((0, 0), (0, 0), (0, t_pad - t)))
+            resid = self.model.apply(params, img)[..., :x.shape[-1], :t]
+            return jnp.swapaxes(resid, -1, -2), None
         else:
             return self.model.apply(params, x)
         hx = jnp.zeros((x.shape[0], plan.hidden * plan.compressed), x.dtype)

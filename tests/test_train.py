@@ -160,3 +160,26 @@ class TestDeviceResidentTraining:
         losses = [rec[k] for k in sorted(rec)]
         assert losses[-1] < losses[0]
         assert ctx.total_iters == 20
+
+
+class TestStatelessTraining:
+    def test_unet4_training_step_works(self):
+        """Regression: the unet4-raw480 preset must be trainable (raw-domain
+        features, image-shaped forward with frame padding)."""
+        import dataclasses
+        import jax.numpy as jnp
+        from audio_denoising_tpu.config import PRESETS
+        from audio_denoising_tpu.models import build_model
+        from audio_denoising_tpu.train.context import TrainingContext
+        rng = np.random.default_rng(0)
+        cfg = PRESETS["unet4-raw480"]
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, batch_size=2, crop_samples=12000))
+        model = build_model(cfg.model, num_bins=cfg.dsp.n_stft)
+        ctx = TrainingContext(cfg, model, seed=0)
+        mix = (0.2 * rng.standard_normal((2, 12000))).astype(np.float32)
+        clean = (0.1 * rng.standard_normal((2, 12000))).astype(np.float32)
+        l1 = ctx.train_step(mix, clean)
+        l2 = ctx.train_step(mix, clean)
+        assert np.isfinite(l1) and np.isfinite(l2)
+        assert l2 < l1          # one step on the same batch must descend

@@ -150,3 +150,73 @@ class TestWSDaemon:
             sock.close()
         time.sleep(0.5)
         assert daemon.engine.active_streams == 0
+
+
+class TestPipelinedFirstFrame:
+    def test_frame_behind_handshake_not_lost(self, ):
+        """Regression: a client coalescing the upgrade request and its
+        first audio frame into one TCP segment must not lose the frame."""
+        import socket as socketlib
+        import threading as th
+        from audio_denoising_tpu.apps.ws_serve import WSDaemon
+        daemon = WSDaemon("gruunet2-good", "localhost", 28766,
+                          max_streams=2, tick_ms=0.5)
+        t = th.Thread(target=daemon.serve_forever, daemon=True)
+        t.start()
+        time.sleep(0.5)
+        try:
+            hop = daemon.hop
+            key = base64.b64encode(os.urandom(16)).decode()
+            req = (f"GET /s HTTP/1.1\r\nHost: x\r\n"
+                   "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                   f"Sec-WebSocket-Key: {key}\r\n"
+                   "Sec-WebSocket-Version: 13\r\n\r\n").encode()
+            pcm = np.zeros(hop, np.int16).tobytes()
+            mask = os.urandom(4)
+            masked = bytes(c ^ mask[i % 4] for i, c in enumerate(pcm))
+            frame = (bytes([0x80 | ws.OP_BINARY, 0x80 | 126])
+                     + struct.pack(">H", len(pcm)) + mask + masked)
+            sock = socket.create_connection(("localhost", 28766), timeout=5)
+            sock.sendall(req + frame)        # ONE segment: pipelined frame
+            resp = b""
+            while b"\r\n\r\n" not in resp:
+                resp += sock.recv(4096)
+            assert b"101" in resp.split(b"\r\n", 1)[0]
+            sock.settimeout(30)
+            fin, op, payload = ws.recv_frame(sock)
+            assert op == ws.OP_BINARY and len(payload) == hop * 2
+            sock.close()
+        finally:
+            daemon.stop()
+
+
+class TestEngineFull:
+    def test_engine_full_signaled(self):
+        """Regression: 3rd client on a 2-slot engine gets an error + close
+        frame instead of a silent drop."""
+        import threading as th
+        from audio_denoising_tpu.apps.ws_serve import WSDaemon
+        daemon = WSDaemon("gruunet2-good", "localhost", 28767,
+                          max_streams=2, tick_ms=0.5)
+        t = th.Thread(target=daemon.serve_forever, daemon=True)
+        t.start()
+        time.sleep(0.5)
+        socks = []
+        try:
+            for _ in range(2):
+                socks.append(_client_connect(("localhost", 28767)))
+            deadline = time.time() + 10
+            while daemon.engine.active_streams < 2 and time.time() < deadline:
+                time.sleep(0.05)
+            assert daemon.engine.active_streams == 2
+            extra = _client_connect(("localhost", 28767))
+            extra.settimeout(10)
+            fin, op, payload = ws.recv_frame(extra)
+            assert op == ws.OP_TEXT and b"error" in payload
+            fin, op, payload = ws.recv_frame(extra)
+            assert op == ws.OP_CLOSE
+            extra.close()
+        finally:
+            for s in socks:
+                s.close()
+            daemon.stop()

@@ -168,3 +168,54 @@ class TestFailureIsolation:
             sock.close()
         finally:
             daemon.stop()
+
+
+class TestChurnSoak:
+    def test_open_chunk_close_churn(self):
+        """Sustained churn: clients repeatedly open/chunk/close while
+        others stream — slots recycle cleanly, no stuck state."""
+        from audio_denoising_tpu.apps.engine_serve import EngineDaemon
+        daemon = EngineDaemon("gruunet2-good", max_streams=4,
+                              address=("localhost", 27301), tick_ms=0.5)
+        t = threading.Thread(target=daemon.serve_forever, daemon=True)
+        t.start()
+        time.sleep(0.5)
+        hop = daemon.cfg.dsp.hop_length
+        errors = []
+        stop = time.time() + 8.0
+
+        def churner(idx):
+            r = np.random.default_rng(idx)
+            try:
+                n = 0
+                while time.time() < stop:
+                    sid = f"churn-{idx}-{n}"
+                    with Client(("localhost", 27301)) as c:
+                        c.send(("open", sid))
+                        tag = c.recv()[0]
+                        if tag == "err":      # engine momentarily full
+                            time.sleep(0.01)
+                            continue
+                        for _ in range(int(r.integers(1, 4))):
+                            c.send(("chunk", sid,
+                                    (0.1 * r.standard_normal(hop))
+                                    .astype(np.float32)))
+                            tg, _, out = c.recv()
+                            assert tg == "out" and out.shape == (hop,)
+                        c.send(("close", sid))
+                        assert c.recv()[0] == "ok"
+                    n += 1
+                assert n > 3, f"churner {idx} made little progress ({n})"
+            except Exception as e:
+                errors.append((idx, repr(e)))
+
+        threads = [threading.Thread(target=churner, args=(i,))
+                   for i in range(6)]      # 6 churners on 4 slots
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+        daemon.stop()
+        assert not errors, errors
+        assert daemon.engine.active_streams == 0
+        assert sorted(daemon.engine._free) == [0, 1, 2, 3]

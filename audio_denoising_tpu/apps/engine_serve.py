@@ -4,32 +4,35 @@ The production serving mode the reference implies but never builds
 (SURVEY §2 'Parallelism': concurrency across streams is *implicit
 batching* — every model takes a leading batch dim). Here it is explicit:
 N concurrent client streams multiplex onto one fixed-slot StreamEngine;
-every tick advances ALL active streams in a single jitted launch.
+every tick advances ALL active streams in a single jitted launch
+(runtime/tick.BatchingTick, shared with the WebSocket daemon).
 
 Protocol (multiprocessing.connection, length-prefixed pickle):
 
     ("open",  stream_id)             -> ("ok", stream_id, slot)
                                         | ("err", stream_id, reason)
     ("chunk", stream_id, float32[hop]) -> ("out", stream_id, float32[hop])
+                                        | ("err", stream_id, reason)
     ("close", stream_id)             -> ("ok", stream_id, -1)
     ("stats",)                       -> ("stats", metrics_summary_dict)
 
-Chunks arriving within one tick window are batched; a stream with no
-pending chunk simply isn't advanced (its slot state is preserved).
+A connection may only chunk/close streams it opened (ownership check —
+stream ids are client-chosen, so without it any client could close or
+corrupt another's stream).
 """
 
 import argparse
-import queue
+import socket
 import threading
 import time
 from multiprocessing.connection import Listener
-from typing import Dict, Tuple
 
 import numpy as np
 
 from audio_denoising_tpu.hub import load_pretrained
 from audio_denoising_tpu.runtime.engine import StreamEngine
 from audio_denoising_tpu.runtime.metrics import ServingMetrics
+from audio_denoising_tpu.runtime.tick import BatchingTick
 
 
 class EngineDaemon:
@@ -47,55 +50,11 @@ class EngineDaemon:
                                    mode=mode, max_streams=max_streams,
                                    mesh=mesh)
         self.address = address
-        self.tick_s = tick_ms / 1e3
         self.metrics = ServingMetrics()
-        self._requests: "queue.Queue[Tuple[str, np.ndarray, object]]" = queue.Queue()
         self._lock = threading.Lock()   # engine lifecycle ops
+        self.tick = BatchingTick(self.engine, self.metrics,
+                                 tick_s=tick_ms / 1e3, lock=self._lock)
         self._stop = threading.Event()
-
-    # -- batching tick -----------------------------------------------------------
-    def _tick_loop(self) -> None:
-        while not self._stop.is_set():
-            try:
-                first = self._requests.get(timeout=0.1)
-            except queue.Empty:
-                continue
-            pending = [first]
-            deadline = time.perf_counter() + self.tick_s
-            while time.perf_counter() < deadline:
-                try:
-                    pending.append(self._requests.get_nowait())
-                except queue.Empty:
-                    time.sleep(self.tick_s / 10)
-            # group into rounds: one chunk per stream per engine launch
-            while pending:
-                batch: Dict[str, np.ndarray] = {}
-                conns: Dict[str, object] = {}
-                rest = []
-                for sid, chunk, conn in pending:
-                    if sid in batch:
-                        rest.append((sid, chunk, conn))
-                    else:
-                        batch[sid] = chunk
-                        conns[sid] = conn
-                with self.metrics.timer("tick"):
-                    with self._lock:
-                        live = {sid: c for sid, c in batch.items()
-                                if sid in self.engine.slots}
-                        outs = self.engine.process(live) if live else {}
-                for sid in batch:
-                    conn = conns[sid]
-                    lock = getattr(conn, "_adt_send_lock", None)
-                    try:
-                        with (lock or threading.Lock()):
-                            if sid in outs:
-                                conn.send(("out", sid, outs[sid]))
-                            else:
-                                conn.send(("err", sid, "unknown stream"))
-                    except OSError:
-                        pass
-                self.metrics.count("chunks", len(batch))
-                pending = rest
 
     # -- connections ---------------------------------------------------------
     def _handle(self, conn) -> None:
@@ -103,7 +62,14 @@ class EngineDaemon:
         # Connection.send is not thread-safe; the tick thread replies on
         # the same connection, so every send goes through this lock.
         send_lock = threading.Lock()
-        conn._adt_send_lock = send_lock
+
+        def reply(msg):
+            try:
+                with send_lock:
+                    conn.send(msg)
+            except OSError:
+                pass
+
         try:
             while not self._stop.is_set():
                 try:
@@ -117,31 +83,36 @@ class EngineDaemon:
                         with self._lock:
                             slot = self.engine.add_stream(sid)
                     except (RuntimeError, KeyError) as e:
-                        with send_lock:
-                            conn.send(("err", sid, str(e)))
+                        reply(("err", sid, str(e)))
                         continue
                     owned.add(sid)
-                    with send_lock:
-                        conn.send(("ok", sid, slot))
+                    reply(("ok", sid, slot))
                 elif op == "chunk":
-                    sid, chunk = msg[1], np.asarray(msg[2], np.float32)
-                    self._requests.put((sid, chunk, conn))
+                    sid = msg[1]
+                    if sid not in owned:
+                        reply(("err", sid, "not your stream"))
+                        continue
+                    self.tick.submit(
+                        sid, msg[2],
+                        sink=lambda out, sid=sid: reply(("out", sid, out)),
+                        err_sink=lambda reason, sid=sid: reply(
+                            ("err", sid, reason)))
                 elif op == "close":
                     sid = msg[1]
+                    if sid not in owned:
+                        reply(("err", sid, "not your stream"))
+                        continue
                     with self._lock:
                         if sid in self.engine.slots:
                             self.engine.remove_stream(sid)
                     owned.discard(sid)
-                    with send_lock:
-                        conn.send(("ok", sid, -1))
+                    reply(("ok", sid, -1))
                 elif op == "stats":
-                    with send_lock:
-                        conn.send(("stats", {
-                            "active_streams": self.engine.active_streams,
-                            **self.metrics.summary()}))
+                    reply(("stats", {
+                        "active_streams": self.engine.active_streams,
+                        **self.metrics.summary()}))
                 else:
-                    with send_lock:
-                        conn.send(("err", None, f"unknown op {op!r}"))
+                    reply(("err", None, f"unknown op {op!r}"))
         finally:
             with self._lock:
                 for sid in owned:    # eviction on disconnect
@@ -150,26 +121,35 @@ class EngineDaemon:
             conn.close()
 
     def serve_forever(self) -> None:
-        ticker = threading.Thread(target=self._tick_loop, daemon=True)
-        ticker.start()
+        self.tick.start()
         while not self._stop.is_set():
             try:
                 with Listener(self.address) as listener:
+                    # accept() has no timeout parameter; set it on the
+                    # underlying socket so stop() can take effect
+                    # (the reference does the same, server.py:184)
+                    listener._listener._socket.settimeout(0.5)
                     print(f"engine listening on {self.address} "
                           f"(max {self.engine.n} streams, hop "
                           f"{self.engine.hop})", flush=True)
                     while not self._stop.is_set():
-                        conn = listener.accept()
+                        try:
+                            conn = listener.accept()
+                        except socket.timeout:
+                            continue
                         threading.Thread(target=self._handle, args=(conn,),
                                          daemon=True).start()
             except KeyboardInterrupt:
                 break
             except Exception as e:
+                if self._stop.is_set():
+                    break
                 print(f"listener error: {e}; restarting...", flush=True)
                 time.sleep(0.1)
 
     def stop(self) -> None:
         self._stop.set()
+        self.tick.stop()
 
 
 def main(argv=None) -> int:
@@ -180,7 +160,8 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="localhost")
     p.add_argument("--port", type=int, default=6102)
     p.add_argument("--max-streams", type=int, default=256)
-    p.add_argument("--mode", choices=["fast", "webrtc"], default="fast")
+    p.add_argument("--mode", choices=["fast", "webrtc", "fused"],
+                   default="fast")
     p.add_argument("--tick-ms", type=float, default=1.0)
     p.add_argument("--multichip", action="store_true",
                    help="shard stream slots over all devices (1-D mesh)")

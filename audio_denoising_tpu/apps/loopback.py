@@ -58,7 +58,9 @@ def main(argv=None) -> int:
             state, out = fast(params, state, jnp.asarray(chunk[None]))
             return np.asarray(out[0])
 
-    sr = 48000
+    # reference rtmds runs the device at 48 kHz; the denoising branch must
+    # clock the device at the MODEL's rate or audio is spectrally mis-mapped
+    sr = 48000 if args.no_denoise else cfg.dsp.sample_rate
     hop = 768 if args.no_denoise else hop
 
     def callback(indata, outdata, frames, t, status):

@@ -30,6 +30,7 @@ from audio_denoising_tpu.io import websocket as ws
 from audio_denoising_tpu.io.wavio import float32_to_pcm16, pcm_to_float32
 from audio_denoising_tpu.runtime.engine import StreamEngine
 from audio_denoising_tpu.runtime.metrics import ServingMetrics
+from audio_denoising_tpu.runtime.tick import BatchingTick
 
 
 class _PyChunker:
@@ -70,43 +71,12 @@ class WSDaemon:
                                    mode=mode, max_streams=max_streams)
         self.addr = (host, port)
         self.hop = self.cfg.dsp.hop_length
-        self.tick_s = tick_ms / 1e3
         self.metrics = ServingMetrics()
-        self._req: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()
+        self.tick = BatchingTick(self.engine, self.metrics,
+                                 tick_s=tick_ms / 1e3, lock=self._lock)
         self._stop = threading.Event()
         self._srv: socket.socket = None
-
-    # -- batching tick (one engine launch per round) ------------------------------
-    def _tick_loop(self):
-        while not self._stop.is_set():
-            try:
-                first = self._req.get(timeout=0.1)
-            except queue.Empty:
-                continue
-            pending = [first]
-            deadline = time.perf_counter() + self.tick_s
-            while time.perf_counter() < deadline:
-                try:
-                    pending.append(self._req.get_nowait())
-                except queue.Empty:
-                    time.sleep(self.tick_s / 10)
-            while pending:
-                batch, sinks, rest = {}, {}, []
-                for sid, chunk, sink in pending:
-                    if sid in batch:
-                        rest.append((sid, chunk, sink))
-                    else:
-                        batch[sid], sinks[sid] = chunk, sink
-                with self.metrics.timer("tick"):
-                    with self._lock:
-                        live = {s: c for s, c in batch.items()
-                                if s in self.engine.slots}
-                        outs = self.engine.process(live) if live else {}
-                for sid, out in outs.items():
-                    sinks[sid](out)
-                self.metrics.count("hops", len(outs))
-                pending = rest
 
     # -- per-connection ------------------------------------------------------
     def _handle(self, raw_conn: socket.socket):
@@ -156,10 +126,14 @@ class WSDaemon:
                             "active_streams": self.engine.active_streams,
                             **self.metrics.summary()}).encode(), ws.OP_TEXT)
                     continue
+                # tolerate odd-length frames (truncated int16 sample)
+                payload = payload[:len(payload) & ~1]
+                if not payload:
+                    continue
                 pcm = np.frombuffer(payload, np.int16)
                 chunker.push(pcm_to_float32(pcm))
                 while (c := chunker.pop()) is not None:
-                    self._req.put((sid, c, sink))
+                    self.tick.submit(sid, c, sink)
         except (ConnectionError, OSError):
             pass
         finally:
@@ -173,7 +147,7 @@ class WSDaemon:
                 pass
 
     def serve_forever(self):
-        threading.Thread(target=self._tick_loop, daemon=True).start()
+        self.tick.start()
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         srv.bind(self.addr)
@@ -196,6 +170,7 @@ class WSDaemon:
 
     def stop(self):
         self._stop.set()
+        self.tick.stop()
 
 
 def main(argv=None) -> int:

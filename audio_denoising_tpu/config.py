@@ -166,7 +166,7 @@ class Config:
     def from_json(cls, s: str) -> "Config":
         d = json.loads(s)
         return cls(
-            dsp=DSPConfig(**{k: _tup(v) if k in () else v for k, v in d.get("dsp", {}).items()}),
+            dsp=DSPConfig(**d.get("dsp", {})),
             model=ModelConfig(**{
                 k: (_tup(v) if k in ("hidden_sizes", "kernel_sizes", "strides", "paddings") else v)
                 for k, v in d.get("model", {}).items()

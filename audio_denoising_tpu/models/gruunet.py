@@ -124,8 +124,9 @@ class GRUUNet2:
         newgate = jnp.tanh(i_n + resetgate * h_n)
         hi = newgate + inputgate * (hx - newgate)
 
-        # decoder over [x, d1, ..., d_{L-1}, hi]
-        ups_in = skips[:-1] + [hi]
+        # decoder skips: [x, d1, ..., d_{L-1}] (hi itself is the level-0
+        # input; x at index 0 is never consumed — last level has no concat)
+        ups_in = skips[:-1]
         h = hi
         for i in range(self.levels):
             s = ups_in[self.levels - 1 - i]

@@ -144,6 +144,24 @@ class MOMO3:
         hx = jnp.zeros((batch, self.geo.hidden, self.geo.compressed), dtype)
         return hx
 
+    # -- streaming carry (the fast serving path steps cell-by-cell) ---------
+    def init_carry(self, batch: int, dtype=jnp.float32):
+        """Full cell carry: (hx, prev frame) for delta models — streaming
+        must persist prev across hops or the delta feature silently
+        degenerates to zero."""
+        hx = self.init_state(batch, dtype)
+        if self.delta:
+            return (hx, jnp.zeros((batch, self.num_bins), dtype))
+        return hx
+
+    def decay_carry(self, carry, factor):
+        """State decay (server.py:214) applies to hx only — prev is the
+        previous input frame, not decaying state."""
+        if self.delta:
+            hx, prev = carry
+            return (hx * factor, prev)
+        return carry * factor
+
     def apply(self, params: base.Params, x: jnp.ndarray,
               hx: Optional[jnp.ndarray] = None,
               prev: Optional[jnp.ndarray] = None):

@@ -173,9 +173,17 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         rec = x - h
         rec = jnp.where(rec >= 0, rec, 0.2 * rec)
         mel_mag = jnp.maximum(jnp.exp(rec) - 1.0, 0.0)
-        lin = dot(mel_mag, imelr) * srv.output_gain
-        scale = lin / jnp.maximum(mag, 1e-8)
-        synth = (dot(re * scale, ic) + dot(im * scale, is_)) * win_r[0]
+        # clamp: the mel pseudo-inverse projects ~13% of bins negative;
+        # inverse_mel_scale (and torchaudio) clamp to >= 0 — without it
+        # those bins resynthesize with inverted phase
+        lin = jnp.maximum(dot(mel_mag, imelr), 0.0) * srv.output_gain
+        # phase reuse as complex scaling; at mag ~ 0 match the fast path's
+        # polar(lin, angle(0)=0) = lin + 0j
+        safe = mag > 1e-8
+        scale = lin / jnp.where(safe, mag, 1.0)
+        rec_re = jnp.where(safe, re * scale, lin)
+        rec_im = jnp.where(safe, im * scale, 0.0)
+        synth = (dot(rec_re, ic) + dot(rec_im, is_)) * win_r[0]
         acc = ola_prev + synth
         out_hop = acc[:, :hop] / env_r[0]
         ola = jnp.concatenate(

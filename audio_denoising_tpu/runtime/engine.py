@@ -32,13 +32,25 @@ class FastState(NamedTuple):
     hx: jnp.ndarray     # model hidden state (B, ...)
 
 
+def _init_carry(model, batch: int, dtype=jnp.float32):
+    fn = getattr(model, "init_carry", None)
+    return fn(batch, dtype) if fn else model.init_state(batch, dtype)
+
+
+def _decay_carry(model, carry, factor):
+    fn = getattr(model, "decay_carry", None)
+    if fn:
+        return fn(carry, factor)
+    return jax.tree.map(lambda h: h * factor, carry)
+
+
 def fast_init_state(cfg: Config, model, batch: int,
                     dtype=jnp.float32) -> FastState:
     n_fft = cfg.dsp.n_fft
     return FastState(
         ring=jnp.zeros((batch, n_fft), dtype),
         ola=jnp.zeros((batch, n_fft), dtype),
-        hx=model.init_state(batch, dtype),
+        hx=_init_carry(model, batch, dtype),
     )
 
 
@@ -73,13 +85,16 @@ def make_fast_step(cfg: Config, model):
         mag = jnp.abs(spec)
         phase = jnp.angle(spec)
         logmel = jnp.log1p(mel_scale(mag[..., None], fb))    # (B, M, 1)
-        x = jnp.swapaxes(logmel, -1, -2)                     # (B, 1, M)
-        resid, hx = model.apply(params, x, state.hx)
-        out = jax.nn.leaky_relu(x - resid, negative_slope=0.2)
-        mel_mag = jnp.maximum(jnp.expm1(jnp.swapaxes(out, -1, -2)), 0.0)
+        x_t = logmel[..., 0]                                 # (B, M)
+        # single-cell step with the FULL carry (init_carry): delta models
+        # (MOMO3) persist their previous frame across hops here — apply()
+        # would re-zero the delta every hop
+        resid_t, hx = model.cell(params, x_t, state.hx)
+        out = jax.nn.leaky_relu(x_t - resid_t, negative_slope=0.2)
+        mel_mag = jnp.maximum(jnp.expm1(out), 0.0)[..., None]  # (B, M, 1)
         lin = inverse_mel_scale(mel_mag, inv)[..., 0]        # (B, F)
         lin = lin * srv.output_gain
-        hx = jax.tree.map(lambda h: h * srv.state_decay, hx)
+        hx = _decay_carry(model, hx, srv.state_decay)
         rec = lin * jnp.exp(1j * phase)
         synth = jnp.fft.irfft(rec, n=n_fft, axis=-1) * win   # (B, n_fft)
         acc = state.ola + synth

@@ -363,9 +363,26 @@ class PlanModel:
         return jnp.zeros((batch, self.plan.hidden * self.plan.compressed),
                          dtype)
 
-    def cell(self, params, x_t, hx):
-        y, hx = self._cell(x_t, hx)
-        return y, hx
+    def init_carry(self, batch: int, dtype=jnp.float32):
+        hx = self.init_state(batch, dtype)
+        if self.plan.delta:
+            return (hx, jnp.zeros((batch, self.num_bins), dtype))
+        return hx
+
+    def decay_carry(self, carry, factor):
+        if self.plan.delta:
+            hx, prev = carry
+            return (hx * factor, prev)
+        return carry * factor
+
+    def cell(self, params, x_t, carry):
+        """carry: hx, or (hx, prev) for delta plans."""
+        if self.plan.delta:
+            hx, prev = carry
+            y, hx2 = self._cell(x_t, hx, prev)
+            return y, (hx2, x_t)
+        y, hx2 = self._cell(x_t, carry)
+        return y, hx2
 
     def apply(self, params, x: jnp.ndarray, hx: Optional[jnp.ndarray] = None):
         """x: (B, T, F) -> (y, hx'); params argument ignored (baked into

@@ -1,0 +1,102 @@
+"""Shared batching tick for the serving daemons.
+
+One queue of (stream_id, chunk, sink) requests; each tick gathers a
+window of requests, groups them into rounds of one-chunk-per-stream, and
+advances every round's streams in a single engine launch. Used by both
+the pickle-socket engine daemon and the WebSocket daemon (they previously
+carried diverging copies of this loop).
+
+The engine call is guarded: one malformed chunk must fail only its own
+requests (sinks get the exception via err_sink), never the tick thread —
+a dead tick thread would silently wedge every stream on the daemon.
+"""
+
+import queue
+import threading
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+
+class BatchingTick:
+    def __init__(self, engine, metrics, tick_s: float = 1e-3,
+                 lock: Optional[threading.Lock] = None):
+        self.engine = engine
+        self.metrics = metrics
+        self.tick_s = tick_s
+        self.lock = lock or threading.Lock()
+        self.requests: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    # -- client side -------------------------------------------------------
+    def submit(self, sid: str, chunk: np.ndarray,
+               sink: Callable[[np.ndarray], None],
+               err_sink: Optional[Callable[[str], None]] = None) -> None:
+        self.requests.put((sid, chunk, sink, err_sink))
+
+    # -- lifecycle -----------------------------------------------------------
+    def start(self) -> "BatchingTick":
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    # -- the tick -------------------------------------------------------------
+    def _loop(self) -> None:
+        hop = self.engine.hop
+        while not self._stop.is_set():
+            try:
+                first = self.requests.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            pending = [first]
+            deadline = time.perf_counter() + self.tick_s
+            while time.perf_counter() < deadline:
+                try:
+                    pending.append(self.requests.get_nowait())
+                except queue.Empty:
+                    time.sleep(self.tick_s / 10)
+
+            while pending:
+                batch: Dict[str, np.ndarray] = {}
+                sinks, errs, rest = {}, {}, []
+                for sid, chunk, sink, err_sink in pending:
+                    if sid in batch:
+                        rest.append((sid, chunk, sink, err_sink))
+                        continue
+                    chunk = np.asarray(chunk)
+                    if chunk.shape != (hop,) or not np.issubdtype(
+                            chunk.dtype, np.floating):
+                        if err_sink:
+                            err_sink(f"bad chunk: expected float ({hop},), "
+                                     f"got {chunk.dtype} {chunk.shape}")
+                        continue
+                    batch[sid] = chunk.astype(np.float32, copy=False)
+                    sinks[sid] = sink
+                    errs[sid] = err_sink
+
+                if batch:
+                    try:
+                        with self.metrics.timer("tick"):
+                            with self.lock:
+                                live = {s: c for s, c in batch.items()
+                                        if s in self.engine.slots}
+                                outs = (self.engine.process(live)
+                                        if live else {})
+                    except Exception as e:   # guard the tick thread
+                        outs = {}
+                        for sid in batch:
+                            if errs[sid]:
+                                errs[sid](f"engine error: {e!r}")
+                        batch = {}
+                    for sid in batch:
+                        if sid in outs:
+                            sinks[sid](outs[sid])
+                        elif errs[sid]:
+                            errs[sid]("unknown stream")
+                    self.metrics.count("hops", len(outs))
+                pending = rest

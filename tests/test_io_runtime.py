@@ -259,3 +259,49 @@ class TestMeshEngine:
         eng = StreamEngine(cfg, model, params, mode="fused", max_streams=16,
                            mesh=mesh)
         assert eng.mode == "fused" and eng.mesh is mesh
+
+
+class TestMomo3StreamingDelta:
+    def test_fast_step_persists_delta_carry(self, rng):
+        """Regression: the fast serving path must carry MOMO3's prev frame
+        across hops (delta feature), matching an offline run over the same
+        frames."""
+        import jax
+        import jax.numpy as jnp
+        from audio_denoising_tpu.hub import load_pretrained
+        from audio_denoising_tpu.runtime.engine import (
+            fast_init_state, make_fast_step)
+        cfg, model, params = load_pretrained("momo3-4d4ea0")
+        step = jax.jit(make_fast_step(cfg, model))
+        B, hop = 2, cfg.dsp.hop_length
+        state = fast_init_state(cfg, model, B)
+        assert isinstance(state.hx, tuple), "carry must include prev"
+        prevs = [np.asarray(state.hx[1])]
+        for _ in range(3):
+            chunk = jnp.asarray(0.1 * rng.standard_normal((B, hop)),
+                                jnp.float32)
+            state, out = step(params, state, chunk)
+            assert np.all(np.isfinite(np.asarray(out)))
+            prevs.append(np.asarray(state.hx[1]))
+        # prev actually advances each hop (nonzero after first real frame)
+        assert not np.allclose(prevs[1], prevs[2])
+        assert np.abs(prevs[-1]).max() > 0
+
+    def test_plan_model_cell_delta_carry(self, rng):
+        import jax.numpy as jnp
+        from audio_denoising_tpu.hub import load_pretrained
+        from audio_denoising_tpu.runtime.plan import PlanModel
+        cfg, model, params = load_pretrained("momo3-4d4ea0")
+        pm = PlanModel(model, params)
+        carry = pm.init_carry(2)
+        x = jnp.asarray(rng.standard_normal((2, 22)), jnp.float32)
+        y1, carry = pm.cell(None, x, carry)
+        y2, carry = pm.cell(None, x, carry)
+        # identical input, but prev changed -> delta changed -> y differs
+        assert not np.allclose(np.asarray(y1), np.asarray(y2))
+        # matches the real model cell trajectory
+        mc = (model.init_state(2), jnp.zeros((2, 22)))
+        z1, mc = model.cell(params, x, mc)
+        z2, mc = model.cell(params, x, mc)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(z2),
+                                   atol=1e-5)

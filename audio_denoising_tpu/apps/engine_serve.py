@@ -38,7 +38,8 @@ from audio_denoising_tpu.runtime.tick import BatchingTick
 class EngineDaemon:
     def __init__(self, spec: str = "gruunet2-good", max_streams: int = 256,
                  address=("localhost", 6102), mode: str = "fast",
-                 tick_ms: float = 1.0, multichip: bool = False):
+                 tick_ms: float = 1.0, multichip: bool = False,
+                 pipeline_depth: int = 2):
         self.cfg, self.model, self.params = load_pretrained(spec)
         mesh = None
         if multichip:
@@ -53,7 +54,8 @@ class EngineDaemon:
         self.metrics = ServingMetrics()
         self._lock = threading.Lock()   # engine lifecycle ops
         self.tick = BatchingTick(self.engine, self.metrics,
-                                 tick_s=tick_ms / 1e3, lock=self._lock)
+                                 tick_s=tick_ms / 1e3, lock=self._lock,
+                                 depth=pipeline_depth)
         self._stop = threading.Event()
 
     # -- connections ---------------------------------------------------------
@@ -165,8 +167,11 @@ def main(argv=None) -> int:
     p.add_argument("--tick-ms", type=float, default=1.0)
     p.add_argument("--multichip", action="store_true",
                    help="shard stream slots over all devices (1-D mesh)")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="device dispatches kept in flight (throughput vs "
+                        "reply latency; raise on remote-attached chips)")
     args = p.parse_args(argv)
     EngineDaemon(args.model, args.max_streams, (args.host, args.port),
-                 args.mode, args.tick_ms,
-                 multichip=args.multichip).serve_forever()
+                 args.mode, args.tick_ms, multichip=args.multichip,
+                 pipeline_depth=args.pipeline_depth).serve_forever()
     return 0

@@ -65,7 +65,8 @@ def _make_chunker(hop: int):
 class WSDaemon:
     def __init__(self, spec: str = "gruunet2-good", host: str = "localhost",
                  port: int = 8765, max_streams: int = 256,
-                 mode: str = "fast", tick_ms: float = 1.0):
+                 mode: str = "fast", tick_ms: float = 1.0,
+                 pipeline_depth: int = 2):
         self.cfg, self.model, self.params = load_pretrained(spec)
         self.engine = StreamEngine(self.cfg, self.model, self.params,
                                    mode=mode, max_streams=max_streams)
@@ -74,7 +75,8 @@ class WSDaemon:
         self.metrics = ServingMetrics()
         self._lock = threading.Lock()
         self.tick = BatchingTick(self.engine, self.metrics,
-                                 tick_s=tick_ms / 1e3, lock=self._lock)
+                                 tick_s=tick_ms / 1e3, lock=self._lock,
+                                 depth=pipeline_depth)
         self._stop = threading.Event()
         self._srv: socket.socket = None
 
@@ -180,7 +182,8 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--max-streams", type=int, default=256)
     p.add_argument("--mode", choices=["fast", "webrtc"], default="fast")
+    p.add_argument("--pipeline-depth", type=int, default=2)
     args = p.parse_args(argv)
     WSDaemon(args.model, args.host, args.port, args.max_streams,
-             args.mode).serve_forever()
+             args.mode, pipeline_depth=args.pipeline_depth).serve_forever()
     return 0

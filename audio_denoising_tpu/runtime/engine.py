@@ -250,6 +250,25 @@ class StreamEngine:
         out = np.asarray(out)
         return {sid: out[self.slots[sid]] for sid in chunks}
 
+    def process_async(self, chunks: Dict[str, np.ndarray]):
+        """Like process() but returns the device array WITHOUT blocking:
+        ``(out_jnp, slot_map)``. The caller materializes later
+        (np.asarray), letting the next tick's dispatch overlap this one's
+        device round trip — on remote-attached chips the dispatch RTT
+        dominates the tick."""
+        batch = np.zeros((self.n, self.hop), np.float32)
+        mask = np.zeros((self.n,), np.bool_)
+        slot_map = {}
+        for sid, chunk in chunks.items():
+            slot = self.slots[sid]
+            batch[slot] = chunk
+            mask[slot] = True
+            slot_map[sid] = slot
+        self.state, out = self._masked_step(self.params, self.state,
+                                            jnp.asarray(batch),
+                                            jnp.asarray(mask))
+        return out, slot_map
+
     def process_batch(self, batch: jnp.ndarray) -> jnp.ndarray:
         """Raw fixed-shape path for benchmarking/serving fabrics:
         (N, hop) in -> (N, hop) out."""

@@ -21,10 +21,14 @@ import numpy as np
 
 class BatchingTick:
     def __init__(self, engine, metrics, tick_s: float = 1e-3,
-                 lock: Optional[threading.Lock] = None):
+                 lock: Optional[threading.Lock] = None, depth: int = 2):
         self.engine = engine
         self.metrics = metrics
         self.tick_s = tick_s
+        # dispatches kept in flight before delivery blocks: on
+        # remote-attached chips each delivery pays the dispatch RTT, so
+        # throughput scales with depth (at +depth*tick latency)
+        self.depth = max(1, depth)
         self.lock = lock or threading.Lock()
         self.requests: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
@@ -45,13 +49,42 @@ class BatchingTick:
     def stop(self) -> None:
         self._stop.set()
 
+    # -- delivery of in-flight device results -----------------------------------
+    def _deliver(self, entry) -> None:
+        out, slot_map, sinks, errs = entry
+        out = np.asarray(out)           # blocks until the device is done
+        for sid, sink in sinks.items():
+            if sid in slot_map:
+                sink(out[slot_map[sid]])
+            elif errs[sid]:
+                errs[sid]("unknown stream")
+        self.metrics.count("hops", len(slot_map))
+
+    def _drain(self) -> None:
+        while self._inflight:
+            self._deliver(self._inflight.pop(0))
+
+    def _flush_ready(self) -> None:
+        """Deliver whatever the device has already finished, without
+        blocking on dispatches still in the pipe."""
+        while self._inflight:
+            out = self._inflight[0][0]
+            ready = getattr(out, "is_ready", None)
+            if ready is not None and not ready():
+                break
+            self._deliver(self._inflight.pop(0))
+
     # -- the tick -------------------------------------------------------------
     def _loop(self) -> None:
         hop = self.engine.hop
+        self._inflight = []
         while not self._stop.is_set():
             try:
-                first = self.requests.get(timeout=0.1)
+                first = self.requests.get(timeout=0.02 if self._inflight
+                                          else 0.1)
             except queue.Empty:
+                # idle: flush outstanding device results
+                self._drain()
                 continue
             pending = [first]
             deadline = time.perf_counter() + self.tick_s
@@ -85,18 +118,27 @@ class BatchingTick:
                             with self.lock:
                                 live = {s: c for s, c in batch.items()
                                         if s in self.engine.slots}
-                                outs = (self.engine.process(live)
-                                        if live else {})
+                                if live:
+                                    out, slot_map = \
+                                        self.engine.process_async(live)
+                                else:
+                                    out, slot_map = None, {}
+                        if out is not None:
+                            # pipeline: dispatch now, materialize on a
+                            # LATER tick — overlaps host batching and the
+                            # device round trip (keep <=2 in flight)
+                            self._inflight.append(
+                                (out, slot_map, sinks, errs))
+                            while len(self._inflight) >= self.depth:
+                                self._deliver(self._inflight.pop(0))
+                        else:
+                            for sid in batch:
+                                if errs[sid]:
+                                    errs[sid]("unknown stream")
                     except Exception as e:   # guard the tick thread
-                        outs = {}
                         for sid in batch:
                             if errs[sid]:
                                 errs[sid](f"engine error: {e!r}")
-                        batch = {}
-                    for sid in batch:
-                        if sid in outs:
-                            sinks[sid](outs[sid])
-                        elif errs[sid]:
-                            errs[sid]("unknown stream")
-                    self.metrics.count("hops", len(outs))
                 pending = rest
+            if not pending and self.requests.empty():
+                self._flush_ready()

@@ -40,12 +40,14 @@ def _client_connect(addr):
     resp = b""
     while b"\r\n\r\n" not in resp:
         resp += sock.recv(4096)
-    assert b"101" in resp.split(b"\r\n", 1)[0]
+    head, leftover = resp.split(b"\r\n\r\n", 1)
+    assert b"101" in head.split(b"\r\n", 1)[0]
     accept = base64.b64encode(hashlib.sha1(
         (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode())
         .digest()).decode()
-    assert accept.encode() in resp
-    return sock
+    assert accept.encode() in head
+    # frames the server pipelined behind the 101 must not be swallowed
+    return ws.Buffered(sock, leftover)
 
 
 class TestProtocolUnits:

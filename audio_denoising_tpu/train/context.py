@@ -201,10 +201,11 @@ class TrainingContext:
         return self.train_loss_record
 
     # -- checkpointing ----------------------------------------------------------
-    def save(self, path: str) -> None:
+    def save(self, path: str, backend: str = "npz") -> None:
         """Native checkpoint: params + loss records + config + metadata —
         carrying the same contract fields as the reference's save_model
-        (app.py:43-91)."""
+        (app.py:43-91). backend='npz' (default, one flat file) or
+        'orbax' (directory; sharded/production store)."""
         meta = {
             "arch": self.cfg.model.arch,
             "config": self.cfg.model.to_reference_dict(),
@@ -220,11 +221,19 @@ class TrainingContext:
                                      self.test_loss_record.items()}},
         }
         params_np = {k: np.asarray(v) for k, v in self.state.params.items()}
-        save_params_npz(path, params_np, meta)
+        if backend == "orbax":
+            from audio_denoising_tpu.compat.orbax_store import save_params_orbax
+            save_params_orbax(path, params_np, meta)
+        else:
+            save_params_npz(path, params_np, meta)
 
     @classmethod
     def load(cls, path: str, cfg: Config, model) -> "TrainingContext":
-        params, meta = load_params_npz(path)
+        if os.path.isdir(path):      # orbax checkpoints are directories
+            from audio_denoising_tpu.compat.orbax_store import load_params_orbax
+            params, meta = load_params_orbax(path)
+        else:
+            params, meta = load_params_npz(path)
         self = cls(cfg, model, params={k: jnp.asarray(v)
                                        for k, v in params.items()})
         self.total_iters = meta.get("total_training_iters") or 0

@@ -44,3 +44,16 @@ def test_profile_cli_help():
     import pytest
     with pytest.raises(SystemExit):
         main(["--help"])
+
+
+def test_profile_cli_stages_smoke(capsys):
+    """--stages end-to-end on tiny shapes; stage timings must scale with
+    real per-iteration work (regression for the loop-hoisting bug)."""
+    import json
+    from audio_denoising_tpu.apps.profile_app import main
+    assert main(["--model", "gruunet2-good", "--streams", "2",
+                 "--hops", "3", "--stages"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    st = rep["stage_ms_per_hop"]
+    assert set(st) == {"frontend", "model", "backend"}
+    assert all(v > 0 for v in st.values())

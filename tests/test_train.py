@@ -183,3 +183,26 @@ class TestStatelessTraining:
         l2 = ctx.train_step(mix, clean)
         assert np.isfinite(l1) and np.isfinite(l2)
         assert l2 < l1          # one step on the same batch must descend
+
+
+class TestOrbaxBackend:
+    def test_save_load_round_trip(self, tmp_path):
+        import dataclasses
+        from audio_denoising_tpu.config import PRESETS
+        from audio_denoising_tpu.models import build_model
+        from audio_denoising_tpu.train.context import TrainingContext
+        cfg = PRESETS["gruunet2-dari_tult"]
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, batch_size=2, crop_samples=8192))
+        model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+        ctx = TrainingContext(cfg, model, seed=0)
+        ctx.total_iters = 7
+        ctx.train_loss_record = {1: 2.0, 7: 1.0}
+        path = str(tmp_path / "ckpt_orbax")
+        ctx.save(path, backend="orbax")
+        ctx2 = TrainingContext.load(path, cfg, model)
+        assert ctx2.total_iters == 7
+        assert ctx2.train_loss_record == {1: 2.0, 7: 1.0}
+        for k, v in ctx.state.params.items():
+            np.testing.assert_array_equal(np.asarray(v),
+                                          np.asarray(ctx2.state.params[k]))

@@ -27,17 +27,22 @@ def evaluate(spec: str, data_dir: str, n_examples: int = 16,
 
     cfg, model, params = load_pretrained(spec)
     sr = cfg.dsp.sample_rate
-    paths = sorted(glob.glob(os.path.join(data_dir, "**", "*.wav"),
-                             recursive=True))
+    noise_dir = os.path.abspath(os.path.join(data_dir, "noise"))
+    paths = sorted(
+        p for p in glob.glob(os.path.join(data_dir, "**", "*.wav"),
+                             recursive=True)
+        if not os.path.abspath(p).startswith(noise_dir + os.sep))
     if not paths:
         raise FileNotFoundError(f"no WAVs under {data_dir}")
 
     # corpus may be at a different rate (the reference cats corpus is
     # 8 kHz): crop in SOURCE samples, then resample both sides to the
-    # model's rate before comparing
+    # model's rate before comparing. Mixed-rate corpora would be
+    # pitch-shifted by a single ratio, so keep only the first file's rate.
     from audio_denoising_tpu.io.wavio import read_wav
     from audio_denoising_tpu.ops.resample import resample
     src_sr = read_wav(paths[0])[1]
+    paths = [p for p in paths if read_wav(p)[1] == src_sr]
     crop = int(crop_seconds * src_sr)
     sampler = MixtureSampler(paths, crop_samples=crop,
                              batch_size=n_examples,

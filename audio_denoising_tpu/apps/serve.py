@@ -17,6 +17,7 @@ Improvements over the reference, behind the same wire format:
 """
 
 import argparse
+import socket
 import threading
 import time
 from multiprocessing.connection import Listener
@@ -81,9 +82,16 @@ class SocketDaemon:
         while not self._stop.is_set():
             try:
                 with Listener(self.address) as listener:
+                    # accept() has no timeout param; set it on the socket
+                    # so stop() takes effect (reference does the same,
+                    # server.py:184)
+                    listener._listener._socket.settimeout(0.5)
                     print(f"listening on {self.address} ...", flush=True)
                     while not self._stop.is_set():
-                        conn = listener.accept()
+                        try:
+                            conn = listener.accept()
+                        except socket.timeout:
+                            continue
                         t = threading.Thread(target=self._handle,
                                              args=(conn,), daemon=True)
                         t.start()

@@ -16,9 +16,12 @@ from audio_denoising_tpu.train.data import MixtureSampler
 
 
 def find_corpus(data_dir: str):
-    clean = sorted(glob.glob(os.path.join(data_dir, "**", "*.wav"),
-                             recursive=True))
     noise_dir = os.path.join(data_dir, "noise")
+    clean = sorted(
+        p for p in glob.glob(os.path.join(data_dir, "**", "*.wav"),
+                             recursive=True)
+        if not os.path.abspath(p).startswith(os.path.abspath(noise_dir)
+                                             + os.sep))
     noise = sorted(glob.glob(os.path.join(noise_dir, "**", "*.*"),
                              recursive=True)) if os.path.isdir(noise_dir) else []
     return clean, noise

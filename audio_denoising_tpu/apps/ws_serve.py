@@ -100,10 +100,21 @@ class WSDaemon:
                 # close code 1013 "try again later"
                 ws.send_frame(conn, b"\x03\xf5busy", ws.OP_CLOSE)
                 return
-            out_q: "queue.Queue[np.ndarray]" = queue.Queue()
+            # bounded: a client that streams in but stops reading would
+            # otherwise grow this without limit (TCP backpressure blocks
+            # the sender); drop-oldest matches degrade-to-passthrough
+            out_q: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=64)
 
             def sink(hop_out: np.ndarray):
-                out_q.put(hop_out)
+                while True:
+                    try:
+                        out_q.put_nowait(hop_out)
+                        return
+                    except queue.Full:
+                        try:
+                            out_q.get_nowait()   # drop oldest
+                        except queue.Empty:
+                            pass
 
             def sender():
                 while not (self._stop.is_set() or closed.is_set()):

@@ -294,6 +294,15 @@ class StreamEngine:
         state = jax.tree.map(jnp.asarray, snap["state"])
         if jax.tree.structure(state) != jax.tree.structure(self.state):
             raise ValueError("snapshot state layout mismatch")
+        mismatched = [
+            (a.shape, b.shape)
+            for a, b in zip(jax.tree.leaves(state),
+                            jax.tree.leaves(self.state))
+            if a.shape != b.shape]
+        if mismatched:
+            raise ValueError(
+                f"snapshot shapes {mismatched} do not match this engine "
+                f"(different max_streams or DSP config?)")
         self.state = state
         self.slots = dict(snap["slots"])
         self._free = list(snap["free"])

@@ -52,7 +52,16 @@ class BatchingTick:
     # -- delivery of in-flight device results -----------------------------------
     def _deliver(self, entry) -> None:
         out, slot_map, sinks, errs = entry
-        out = np.asarray(out)           # blocks until the device is done
+        try:
+            # materialization is where ASYNC dispatch errors surface
+            # (device disconnect/preemption) — they must fail only this
+            # round's requests, never the tick thread
+            out = np.asarray(out)       # blocks until the device is done
+        except Exception as e:
+            for sid in sinks:
+                if errs[sid]:
+                    errs[sid](f"engine error: {e!r}")
+            return
         for sid, sink in sinks.items():
             if sid in slot_map:
                 sink(out[slot_map[sid]])

@@ -70,7 +70,8 @@ def fused_hop_init_state(cfg: Config, plan, batch: int) -> FusedHopState:
 
 
 def make_fused_hop(cfg: Config, plan, interpret: bool = False,
-                   block_b: int = 128, hops_per_call: int = 1):
+                   block_b: int = 128, hops_per_call: int = 1,
+                   hops_per_step: int = 1, io_dtype=jnp.float32):
     """One-kernel serving hop(s).
 
     hops_per_call == 1 -> ``step(state, chunk (B, hop)) -> (state', out)``,
@@ -190,8 +191,16 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             [acc[:, hop:], jnp.zeros_like(acc[:, :hop])], axis=-1)
         return ring, ola, hi * srv.state_decay, out_hop
 
+    # int16 PCM at the kernel boundary: audio arrives as s16 in every real
+    # ingest path (the reference's WebRTC frames are s16, app2.py:175-179);
+    # converting on device halves the host<->device bytes per hop.
+    pcm16 = io_dtype == jnp.int16
+
     # --- resident multi-hop kernel (throughput path) -------------------------
     K = hops_per_call
+    U = hops_per_step            # hops unrolled inside one grid step
+    assert K % U == 0, "hops_per_step must divide hops_per_call"
+    KS = K // U                  # grid steps along the hop axis
 
     def kernel_multi(ring_ref, ola_ref, hx_ref, chunk_ref, *refs):
         ring_s, ola_s, hx_s = refs[-3:]
@@ -206,14 +215,21 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             ola_s[:] = ola_ref[:]
             hx_s[:] = hx_ref[:]
 
-        ring, ola, hx, out = _hop_math(cs, w, ring_s[:], ola_s[:],
-                                       hx_s[:], chunk_ref[0])
+        ring, ola, hx = ring_s[:], ola_s[:], hx_s[:]
+        for u in range(U):       # unrolled: amortizes per-grid-step cost
+            chunk = chunk_ref[u]
+            if pcm16:            # s16 -> f32 on device (app2.py:177 scale)
+                chunk = chunk.astype(jnp.float32) * (1.0 / 32768.0)
+            ring, ola, hx, out = _hop_math(cs, w, ring, ola, hx, chunk)
+            if pcm16:            # f32 -> s16 with clip (app2.py:246-247)
+                out = jnp.clip(out, -1.0, 1.0) * 32767.0
+                out = out.astype(jnp.int16)
+            out_o[u] = out
         ring_s[:] = ring
         ola_s[:] = ola
         hx_s[:] = hx
-        out_o[0] = out
 
-        @pl.when(k == K - 1)
+        @pl.when(k == KS - 1)
         def _():
             ring_o[:] = ring
             ola_o[:] = ola
@@ -222,16 +238,17 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
     def step_multi(state: FusedHopState, chunks: jnp.ndarray):
         k, b = chunks.shape[0], chunks.shape[1]
         assert k == K, f"expected {K} hops per call, got {k}"
+        assert chunks.dtype == io_dtype, (chunks.dtype, io_dtype)
         bp = _round_up(b, block_b)
         ring, ola, hx = state
         if bp != b:
             pad = lambda a: jnp.pad(a, ((0, bp - b), (0, 0)))
             ring, ola, hx = pad(ring), pad(ola), pad(hx)
             chunks = jnp.pad(chunks, ((0, 0), (0, bp - b), (0, 0)))
-        grid = (bp // block_b, K)
+        grid = (bp // block_b, KS)
         bspec = lambda width: pl.BlockSpec(
             (block_b, width), lambda i, k: (i, 0), memory_space=pltpu.VMEM)
-        kspec = pl.BlockSpec((1, block_b, hop), lambda i, k: (k, i, 0),
+        kspec = pl.BlockSpec((U, block_b, hop), lambda i, k: (k, i, 0),
                              memory_space=pltpu.VMEM)
         const_specs = [pl.BlockSpec(op.shape, lambda i, k: (0, 0),
                                     memory_space=pltpu.VMEM)
@@ -247,7 +264,7 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
                 jax.ShapeDtypeStruct((bp, n_fft), jnp.float32),
                 jax.ShapeDtypeStruct((bp, n_fft), jnp.float32),
                 jax.ShapeDtypeStruct((bp, H), jnp.float32),
-                jax.ShapeDtypeStruct((K, bp, hop), jnp.float32),
+                jax.ShapeDtypeStruct((K, bp, hop), io_dtype),
             ),
             scratch_shapes=[
                 pltpu.VMEM((block_b, n_fft), jnp.float32),

@@ -178,3 +178,45 @@ class TestShardedFusedHop:
             assert np.all(np.isfinite(out["s"]))
         finally:
             fh.make_fused_hop = orig
+
+
+class TestResidentKernelVariants:
+    def test_hops_per_step_unroll_bit_exact(self, setup, rng):
+        from audio_denoising_tpu.ops.pallas.fused_hop import (
+            fused_hop_init_state, make_fused_hop)
+        cfg, model, params, plan = setup
+        B, K, hop = 3, 8, cfg.dsp.hop_length
+        m1 = make_fused_hop(cfg, plan, interpret=True, hops_per_call=K)
+        m2 = make_fused_hop(cfg, plan, interpret=True, hops_per_call=K,
+                            hops_per_step=4)
+        chunks = jnp.asarray(0.1 * rng.standard_normal((K, B, hop)),
+                             jnp.float32)
+        s = fused_hop_init_state(cfg, plan, B)
+        s1, o1 = m1(s, chunks)
+        s2, o2 = m2(s, chunks)
+        # bit-exact on TPU; interpret mode reassociates fp32 at ~1e-7
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s1.hx), np.asarray(s2.hx),
+                                   atol=1e-6)
+
+    def test_int16_pcm_boundary(self, setup, rng):
+        """s16-in/s16-out variant == clip(f32 path) to 1 LSB (the clip is
+        the reference's own int16 output semantic, app2.py:246-247)."""
+        from audio_denoising_tpu.ops.pallas.fused_hop import (
+            fused_hop_init_state, make_fused_hop)
+        cfg, model, params, plan = setup
+        B, K, hop = 3, 4, cfg.dsp.hop_length
+        f32 = make_fused_hop(cfg, plan, interpret=True, hops_per_call=K)
+        i16 = make_fused_hop(cfg, plan, interpret=True, hops_per_call=K,
+                             io_dtype=jnp.int16)
+        pcm = (np.clip(0.1 * rng.standard_normal((K, B, hop)), -1, 1)
+               * 32767).astype(np.int16)
+        s = fused_hop_init_state(cfg, plan, B)
+        s1, o1 = f32(s, jnp.asarray(pcm.astype(np.float32) / 32768.0))
+        s2, o2 = i16(s, jnp.asarray(pcm))
+        assert o2.dtype == jnp.int16
+        back = np.asarray(o2).astype(np.float32) / 32767.0
+        np.testing.assert_allclose(np.clip(np.asarray(o1), -1, 1), back,
+                                   atol=2.0 / 32767)
+        np.testing.assert_array_equal(np.asarray(s1.hx), np.asarray(s2.hx))

@@ -112,6 +112,15 @@ def main() -> None:
         jax.block_until_ready(out)
         times.append((time.perf_counter() - t0) * 1e3 / K)
 
+    # Transparency: also measure with full host materialization. On a
+    # locally-attached chip d2h of one hop's output is microseconds; on a
+    # network-relayed chip it can dominate (reported to stderr, not the
+    # headline — it measures the attachment, not the chip).
+    t0 = time.perf_counter()
+    _state, out = run()
+    np.asarray(out)
+    host_ms = (time.perf_counter() - t0) * 1e3 / K
+
     p50 = float(np.percentile(times, 50))
     p99 = float(np.percentile(times, 99))
     audio_ms = N_STREAMS * HOP_MS
@@ -120,7 +129,10 @@ def main() -> None:
     print(f"device={jax.devices()[0].device_kind} variant={variant} "
           f"streams={N_STREAMS} hop={HOP_MS}ms p50={p50:.3f}ms "
           f"p99={p99:.3f}ms aggregate={realtime_x:.0f}x realtime "
-          f"({p50 / N_STREAMS * 1e3:.1f}us/stream)", file=sys.stderr)
+          f"({p50 / N_STREAMS * 1e3:.1f}us/stream); "
+          f"with-host-materialization={host_ms:.3f}ms/hop "
+          f"(dominated by the chip attachment's d2h on relayed setups)",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "p50_ms_per_20ms_hop_256_streams",

@@ -64,3 +64,20 @@ def test_committed_checkpoints_present():
         params, meta = load_params_npz(path)
         assert meta["arch"] in ("GRUUNet2", "MOMO3")
         assert all(v.dtype == np.float32 for v in params.values())
+
+
+class TestConfigRoundTrip:
+    def test_all_presets_json_round_trip(self):
+        from audio_denoising_tpu.config import Config, PRESETS
+        for name, cfg in PRESETS.items():
+            back = Config.from_json(cfg.to_json())
+            assert back == cfg, name
+
+    def test_model_config_reference_round_trip(self):
+        from audio_denoising_tpu.config import ModelConfig
+        mc = ModelConfig(arch="MOMO3", num_compressed_bins=3,
+                         hidden_sizes=(16, 16, 16), kernel_sizes=(3, 3, 3),
+                         strides=(2, 2, 2), paddings=(1, 0, 1))
+        d = mc.to_reference_dict()
+        back = ModelConfig.from_reference_dict("MOMO3", d)
+        assert back == mc

@@ -259,6 +259,14 @@ def run_graph(graph: Graph, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarra
     def conv(x, w, b, attrs, transpose=False):
         x = jnp.asarray(x, jnp.float32)
         w = jnp.asarray(w, jnp.float32)
+        dil = attrs.get("dilations")
+        if dil is not None and any(d != 1 for d in dil):
+            raise NotImplementedError(f"ONNX conv dilations {dil}")
+        if attrs.get("auto_pad") not in (None, "NOTSET"):
+            raise NotImplementedError(
+                f"ONNX conv auto_pad {attrs['auto_pad']!r}")
+        if attrs.get("group", 1) != 1:
+            raise NotImplementedError("grouped ONNX conv")
         strides = tuple(attrs.get("strides", [1] * (x.ndim - 2)))
         pads = attrs.get("pads")
         rank = x.ndim - 2

@@ -107,9 +107,16 @@ class _TorchUnpickler(pickle.Unpickler):
             return _StorageStub(name)
         if module == "torch" and name == "device":
             return lambda *a, **k: str(a[0]) if a else "cpu"
-        # dtype objects (torch.float32 etc.) show up in optimizer state
-        if module == "torch" and hasattr(np, name.replace("torch.", "")):
-            return getattr(np, name)
+        # dtype objects (torch.float32 etc.) show up in optimizer state.
+        # EXPLICIT whitelist — `hasattr(np, name)` would admit hundreds of
+        # numpy callables (np.fromfile, np.empty, ...) and let a crafted
+        # checkpoint execute them with attacker-controlled args.
+        _DTYPES = {"float16", "float32", "float64", "bfloat16",
+                   "int8", "int16", "int32", "int64",
+                   "uint8", "uint16", "uint32", "uint64", "bool",
+                   "complex64", "complex128"}
+        if module == "torch" and name in _DTYPES:
+            return getattr(np, name, np.float32)
         raise pickle.UnpicklingError(
             f"blocked unpickle of {module}.{name} (restricted reader)")
 

@@ -15,12 +15,12 @@ from audio_denoising_tpu.models.unet2d import UNet2d
 from audio_denoising_tpu.models.gru import GRU
 from audio_denoising_tpu.models.trunet import TRUNet
 
-_RECURRENT = {
-    "GRUUNet2": lambda cfg, nb: GRUUNet2(cfg, num_bins=nb),
-    "GRUUNet": lambda cfg, nb: GRUUNet(cfg, num_bins=nb),
-    "MOMO3": lambda cfg, nb: MOMO3(cfg, num_bins=nb),
-    "MOMO2": lambda cfg, nb: MOMO2(cfg, num_bins=nb),
-    "MOMO": lambda cfg, nb: MOMO(cfg, num_bins=nb),
+_RECURRENT = {   # None num_bins -> each class's reference default
+    "GRUUNet2": lambda cfg, nb: GRUUNet2(cfg, num_bins=nb or 64),
+    "GRUUNet": lambda cfg, nb: GRUUNet(cfg, num_bins=nb or 64),
+    "MOMO3": lambda cfg, nb: MOMO3(cfg, num_bins=nb or 22),
+    "MOMO2": lambda cfg, nb: MOMO2(cfg, num_bins=nb or 22),
+    "MOMO": lambda cfg, nb: MOMO(cfg, num_bins=nb or 22),
 }
 
 _UNETS = {"UNet2d", "UNet2d3", "UNet2d4", "UNet2d4Wide"}

@@ -125,7 +125,9 @@ class MOMO3:
         newgate = jnp.tanh(i_n + resetgate * h_n)
         hi = newgate + inputgate * (hx - newgate)
 
-        ups_in = skips[:-1] + [hi]
+        # decoder skips (hi is level-0's input, never a skip;
+        # mirrors gruunet.py)
+        ups_in = skips[:-1]
         h = hi
         for i in range(geo.levels):
             s = ups_in[geo.levels - 1 - i]
@@ -148,7 +150,13 @@ class MOMO3:
     def init_carry(self, batch: int, dtype=jnp.float32):
         """Full cell carry: (hx, prev frame) for delta models — streaming
         must persist prev across hops or the delta feature silently
-        degenerates to zero."""
+        degenerates to zero.
+
+        prev starts at zeros rather than the reference's prev_0 = x_0
+        (apply() semantics): in streaming the analysis ring also starts
+        zeroed, so x_0 is the mel of near-silence (~0) and the first-hop
+        delta differs from the offline path by ~log1p(first-hop
+        magnitude) only — gone once the ring fills."""
         hx = self.init_state(batch, dtype)
         if self.delta:
             return (hx, jnp.zeros((batch, self.num_bins), dtype))

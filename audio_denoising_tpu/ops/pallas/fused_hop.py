@@ -283,6 +283,9 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
 
     def step(state: FusedHopState,
              chunk: jnp.ndarray) -> Tuple[FusedHopState, jnp.ndarray]:
+        assert chunk.dtype == io_dtype, (chunk.dtype, io_dtype)
+        if pcm16:
+            chunk = chunk.astype(jnp.float32) * (1.0 / 32768.0)
         b = chunk.shape[0]
         bp = _round_up(b, block_b)
         ring, ola, hx = state
@@ -312,6 +315,8 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         )(ring, ola, hx, chunk, *operands)
         if bp != b:
             ring2, ola2, hx2, out = (ring2[:b], ola2[:b], hx2[:b], out[:b])
+        if pcm16:
+            out = (jnp.clip(out, -1.0, 1.0) * 32767.0).astype(jnp.int16)
         return FusedHopState(ring2, ola2, hx2), out
 
     return step

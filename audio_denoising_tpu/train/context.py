@@ -184,15 +184,23 @@ class TrainingContext:
         def run(carry):
             return jax.lax.scan(one, carry, None, length=K)
 
+        @functools.partial(jax.jit, donate_argnums=(0,),
+                           static_argnames=("length",))
+        def run_n(carry, length):
+            return jax.lax.scan(one, carry, None, length=length)
+
         carry = (self.state, jax.random.PRNGKey(seed))
         done = 0
         while done < iters:
-            carry, losses = run(carry)
+            if iters - done < K:     # clamp the last dispatch to iters
+                carry, losses = run_n(carry, length=iters - done)
+            else:
+                carry, losses = run(carry)
             losses = np.asarray(losses)
             for v in losses:
                 self.total_iters += 1
                 self.train_loss_record[self.total_iters] = float(v)
-            done += K
+            done += len(losses)
             if log_every and (done % log_every == 0 or done >= iters):
                 print(f"iter {self.total_iters}: train "
                       f"{self.cfg.train.loss_metric_train}="
@@ -221,11 +229,20 @@ class TrainingContext:
                                      self.test_loss_record.items()}},
         }
         params_np = {k: np.asarray(v) for k, v in self.state.params.items()}
+        # optimizer + schedule state travel too (the reference persists
+        # model/optimizer/scheduler, app.py:43-91) — resuming without them
+        # would restart AdamW moments and the LR decay at a converged model
+        opt_leaves = jax.tree.leaves(self.state.opt_state)
+        store = dict(params_np)
+        store.update({f"__opt__{i}": np.asarray(v)
+                      for i, v in enumerate(opt_leaves)})
+        meta["opt_n_leaves"] = len(opt_leaves)
+        meta["opt_step"] = int(self.state.step)
         if backend == "orbax":
             from audio_denoising_tpu.compat.orbax_store import save_params_orbax
-            save_params_orbax(path, params_np, meta)
+            save_params_orbax(path, store, meta)
         else:
-            save_params_npz(path, params_np, meta)
+            save_params_npz(path, store, meta)
 
     @classmethod
     def load(cls, path: str, cfg: Config, model) -> "TrainingContext":
@@ -234,8 +251,23 @@ class TrainingContext:
             params, meta = load_params_orbax(path)
         else:
             params, meta = load_params_npz(path)
+        opt_stored = {k: v for k, v in params.items()
+                      if k.startswith("__opt__")}
+        params = {k: v for k, v in params.items()
+                  if not k.startswith("__opt__")}
         self = cls(cfg, model, params={k: jnp.asarray(v)
                                        for k, v in params.items()})
+        n = meta.get("opt_n_leaves")
+        if n is not None and len(opt_stored) == n:
+            # rebuild via the fresh opt_state's treedef (same optimizer
+            # config -> same structure)
+            treedef = jax.tree.structure(self.state.opt_state)
+            leaves = [jnp.asarray(opt_stored[f"__opt__{i}"])
+                      for i in range(n)]
+            self.state = TrainState(
+                params=self.state.params,
+                opt_state=jax.tree.unflatten(treedef, leaves),
+                step=jnp.asarray(meta.get("opt_step", 0), jnp.int32))
         self.total_iters = meta.get("total_training_iters") or 0
         rec = meta.get("loss_record") or {}
         self.train_loss_record = {int(k): v for k, v in

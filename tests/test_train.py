@@ -206,3 +206,40 @@ class TestOrbaxBackend:
         for k, v in ctx.state.params.items():
             np.testing.assert_array_equal(np.asarray(v),
                                           np.asarray(ctx2.state.params[k]))
+
+
+class TestOptimizerResume:
+    def test_resume_restores_adamw_moments_and_lr_step(self, tmp_path):
+        """Regression: resume must continue AdamW moments and the decay
+        schedule, not restart them (reference persists optimizer +
+        scheduler state, app.py:43-91)."""
+        import dataclasses
+        import jax.numpy as jnp
+        from audio_denoising_tpu.config import PRESETS
+        from audio_denoising_tpu.models import build_model
+        from audio_denoising_tpu.train.context import TrainingContext
+        rng = np.random.default_rng(0)
+        cfg = PRESETS["gruunet2-dari_tult"]
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, batch_size=2, crop_samples=8192))
+        model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+        ctx = TrainingContext(cfg, model, seed=0)
+        mix = (0.2 * rng.standard_normal((2, 8192))).astype(np.float32)
+        clean = (0.1 * rng.standard_normal((2, 8192))).astype(np.float32)
+        for _ in range(3):
+            ctx.train_step(mix, clean)
+        path = str(tmp_path / "resume.npz")
+        ctx.save(path)
+
+        ctx2 = TrainingContext.load(path, cfg, model)
+        assert int(ctx2.state.step) == 3
+        l0, l2 = jax.tree.leaves(ctx.state.opt_state), \
+            jax.tree.leaves(ctx2.state.opt_state)
+        assert len(l0) == len(l2)
+        for a, b in zip(l0, l2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # continued training from the restored state matches continuing
+        # the original context exactly
+        loss_orig = ctx.train_step(mix, clean)
+        loss_resumed = ctx2.train_step(mix, clean)
+        assert abs(loss_orig - loss_resumed) < 1e-6

@@ -55,6 +55,29 @@ def load_pretrained(spec: str, cfg: Optional[Config] = None):
         f"({', '.join(sorted(PRESETS))}), a .npz path, or a .pth path")
 
 
+def _assumed_cfg(arch: str, mc: ModelConfig, path: str) -> Config:
+    """A checkpoint without a full embedded config carries only model
+    hyperparameters — the DSP parameters are NOT derivable from weights
+    (the reference has the same gap: STFT params differ per entry point,
+    SURVEY §5 'Config'). Build the model at its architecture's reference
+    bin count and assume the matching reference DSP, loudly."""
+    import sys
+    model = build_model(mc, num_bins=None)     # arch reference default
+    bins = getattr(model, "num_bins", 64)
+    dsp = dataclass_replace_dsp(n_fft=1024, hop_length=512,
+                                n_mels=bins, reconstruction="phase")
+    print(f"[hub] {path}: no DSP config embedded; assuming the reference "
+          f"socket-path DSP (n_fft={dsp.n_fft}, hop={dsp.hop_length}, "
+          f"n_mels={bins}) — pass cfg= to override", file=sys.stderr)
+    return Config(dsp=dsp, model=mc)
+
+
+def dataclass_replace_dsp(**kw):
+    import dataclasses
+    from audio_denoising_tpu.config import DSPConfig
+    return dataclasses.replace(DSPConfig(), **kw)
+
+
 def _load_npz(path: str, cfg: Optional[Config]):
     from audio_denoising_tpu.compat.npz_store import load_params_npz
     params, meta = load_params_npz(path)
@@ -63,8 +86,9 @@ def _load_npz(path: str, cfg: Optional[Config]):
             import json
             cfg = Config.from_json(json.dumps(meta["full_config"]))
         elif "arch" in meta and "config" in meta:
-            cfg = Config(model=ModelConfig.from_reference_dict(
-                meta["arch"], meta["config"]))
+            mc = ModelConfig.from_reference_dict(meta["arch"],
+                                                 meta["config"])
+            cfg = _assumed_cfg(meta["arch"], mc, path)
         else:
             raise ValueError(f"{path} has no embedded config; pass cfg=")
     model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
@@ -78,7 +102,7 @@ def _load_pth(path: str, cfg: Optional[Config]):
     arch = ckpt.get("arch") or ckpt.get("model_class") or "GRUUNet2"
     if cfg is None:
         mc = ModelConfig.from_reference_dict(arch, ckpt.get("config", {}))
-        cfg = Config(model=mc)
+        cfg = _assumed_cfg(arch, mc, path)
     model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
     params = state_dict_to_params(ckpt["model_state_dict"])
     return cfg, model, _as_jnp(params)

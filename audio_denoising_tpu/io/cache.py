@@ -52,13 +52,27 @@ class AudioCache:
         start = int(self._rng.integers(0, n - crop_samples))
         return samples[..., start:start + crop_samples].copy(), sr
 
+    @staticmethod
+    def probe_rate(path: str) -> int:
+        """Sample rate without decoding (WAV header read)."""
+        if path.lower().endswith(".wav"):
+            import wave
+            with wave.open(path, "rb") as w:
+                return w.getframerate()
+        return AudioCache().load(path)[1]
+
     def random_crop_from(self, paths: List[str], crop_samples: int,
                          sample_rate: Optional[int] = None):
-        """Crop from a random file (optionally filtered by sample rate)."""
+        """Crop from a random file (optionally filtered by sample rate;
+        rates are probed from headers, not by decoding the corpus)."""
         candidates = paths
         if sample_rate is not None:
             candidates = [p for p in paths
-                          if self.load(p)[1] == sample_rate] or paths
+                          if self.probe_rate(p) == sample_rate]
+            if not candidates:
+                raise ValueError(
+                    f"no corpus file at {sample_rate} Hz among "
+                    f"{len(paths)} paths")
         path = candidates[int(self._rng.integers(0, len(candidates)))]
         return self.random_crop(path, crop_samples)
 

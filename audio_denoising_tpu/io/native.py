@@ -129,6 +129,19 @@ def deinterleave(samples: np.ndarray, channels: int) -> Optional[np.ndarray]:
     return out
 
 
+def interleave(samples: np.ndarray) -> Optional[np.ndarray]:
+    """(ch, n) planar f32 -> (n*ch,) interleaved."""
+    lib = _load()
+    if lib is None:
+        return None
+    samples = np.ascontiguousarray(samples, np.float32)
+    ch, n = samples.shape
+    out = np.empty(ch * n, np.float32)
+    lib.adt_interleave_f32(_ptr(samples, ctypes.c_float),
+                           _ptr(out, ctypes.c_float), n, ch)
+    return out
+
+
 def peak(samples: np.ndarray) -> Optional[float]:
     lib = _load()
     if lib is None:

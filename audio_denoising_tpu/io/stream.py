@@ -63,10 +63,15 @@ def limit_stream(stream: Iterable[AudioChunk],
 
 def combine_audio(a1: AudioChunk, a2: AudioChunk) -> AudioChunk:
     """Additive mixing with clamp to [-1, 1] — the noisy-mixture synthesizer
-    for training (utils.py:363-372)."""
+    for training (utils.py:363-372). Uses the native C++ path when built."""
     s1, sr1 = a1
     s2, sr2 = a2
     assert sr1 == sr2, "sample rates must be the same"
+    if s1.shape == s2.shape:
+        from audio_denoising_tpu.io import native
+        fast = native.combine(s1, s2)
+        if fast is not None:
+            return fast.reshape(s1.shape), sr1
     return np.clip(s1 + s2, -1.0, 1.0), sr1
 
 

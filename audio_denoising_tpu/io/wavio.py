@@ -48,13 +48,23 @@ def read_wav(path: str, mono: bool = False) -> Tuple[np.ndarray, int]:
         sr = w.getframerate()
         n = w.getnframes()
         raw = w.readframes(n)
-    if width == 3:  # 24-bit: expand to int32
-        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
-        ints = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8) |
-                (b[:, 2].astype(np.int32) << 16))
-        ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints) << 8
-        data = ints.astype(np.int32)
-        samples = data.astype(np.float32) / _PCM_SCALE[4]
+    if width == 3:  # 24-bit
+        from audio_denoising_tpu.io import native
+        fast = native.pcm24_to_f32(np.frombuffer(raw, dtype=np.uint8))
+        if fast is not None:
+            samples = fast
+        else:
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            ints = (b[:, 0].astype(np.int32)
+                    | (b[:, 1].astype(np.int32) << 8)
+                    | (b[:, 2].astype(np.int32) << 16))
+            ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints) << 8
+            samples = ints.astype(np.float32) / _PCM_SCALE[4]
+    elif width == 1:
+        # WAV stores 8-bit PCM UNSIGNED with a 128 offset (unlike the
+        # signed widths) — int8 decode would invert/wrap every sample
+        u = np.frombuffer(raw, dtype=np.uint8)
+        samples = (u.astype(np.float32) - 128.0) / 128.0
     else:
         data = np.frombuffer(raw, dtype=_PCM_DTYPE[width])
         samples = pcm_to_float32(data)

@@ -19,6 +19,11 @@ _GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 OP_CONT, OP_TEXT, OP_BINARY, OP_CLOSE, OP_PING, OP_PONG = \
     0x0, 0x1, 0x2, 0x8, 0x9, 0xA
 
+# Frames larger than this are rejected: audio chunks are tens of KB, and a
+# client-declared 64-bit length would otherwise let one connection OOM the
+# daemon (the handshake header has the same 64 KiB cap).
+MAX_FRAME_BYTES = 1 << 20
+
 
 class Buffered:
     """Socket wrapper that (a) drains pre-read bytes (e.g. a first frame
@@ -123,13 +128,18 @@ def recv_frame(sock: socket.socket) -> Tuple[bool, int, bytes]:
         n = struct.unpack(">H", _recv_exact(sock, 2))[0]
     elif n == 127:
         n = struct.unpack(">Q", _recv_exact(sock, 8))[0]
+    if n > MAX_FRAME_BYTES:
+        raise ConnectionError(f"frame of {n} bytes exceeds cap")
     mask = _recv_exact(sock, 4) if masked else None
     payload = _recv_exact(sock, n) if n else b""
     if mask:
-        data = bytearray(payload)
-        for i in range(len(data)):
-            data[i] ^= mask[i % 4]
-        payload = bytes(data)
+        # vectorized unmask (a per-byte Python loop on the ingest hot
+        # path costs ~1e6 interpreted ops/s at serving rates)
+        import numpy as _np
+        data = _np.frombuffer(payload, _np.uint8)
+        m = _np.frombuffer((mask * (len(data) // 4 + 1))[:len(data)],
+                           _np.uint8)
+        payload = (data ^ m).tobytes()
     return fin, opcode, payload
 
 

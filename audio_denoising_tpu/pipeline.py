@@ -163,8 +163,13 @@ def make_webrtc_step(cfg: Config, model):
     dsp = cfg.dsp
     n_fft, hop = dsp.n_fft, dsp.hop_length
     fb, inv, win = _transforms(cfg)
-    # per-bin linear phase advance of one hop (seeds the next window's GL)
-    gl_rot = jnp.exp(-2j * jnp.pi * jnp.arange(dsp.n_stft) * hop / n_fft
+    # per-bin linear phase advance of one hop, applied ONLY to the
+    # extrapolated newest frame: the shifted frames already align with the
+    # new window's earlier frames (measured: last-only + advance beats
+    # rotate-all and no-rotation on steady tones; sign follows the
+    # e^{-2pi i kn/N} rfft convention where advancing time by `hop`
+    # multiplies bin k by e^{+2pi i k hop/N})
+    gl_rot = jnp.exp(+2j * jnp.pi * jnp.arange(dsp.n_stft) * hop / n_fft
                      )[None, :, None]
 
     def step(params, state: WebRTCState,
@@ -190,8 +195,8 @@ def make_webrtc_step(cfg: Config, model):
             # window advanced one hop); the new frame reuses the last
             # frame's estimate — RTISI-style streaming Griffin-Lim.
             seed = jnp.concatenate(
-                [state.gl_angles[..., 1:], state.gl_angles[..., -1:]],
-                axis=-1) * gl_rot
+                [state.gl_angles[..., 1:],
+                 state.gl_angles[..., -1:] * gl_rot], axis=-1)
             frame, angles = griffin_lim(
                 lin_mag, n_fft, hop, dsp.win, window=win,
                 n_iter=dsp.griffin_lim_iters,

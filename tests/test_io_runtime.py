@@ -305,3 +305,36 @@ class TestMomo3StreamingDelta:
         z2, mc = model.cell(params, x, mc)
         np.testing.assert_allclose(np.asarray(y2), np.asarray(z2),
                                    atol=1e-5)
+
+
+class TestWav8Bit:
+    def test_8bit_wav_is_unsigned(self, tmp_path):
+        """Regression: WAV 8-bit PCM is unsigned with a 128 offset —
+        silence must decode to 0.0, not -1.0."""
+        import wave
+        path = str(tmp_path / "u8.wav")
+        with wave.open(path, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            # silence (0x80), full positive (0xFF), full negative (0x00)
+            w.writeframes(bytes([0x80] * 10 + [0xFF] + [0x00]))
+        from audio_denoising_tpu.io.wavio import read_wav
+        s, sr = read_wav(path)
+        np.testing.assert_allclose(s[0, :10], 0.0, atol=1e-7)
+        assert s[0, 10] > 0.9 and s[0, 11] <= -0.99
+
+
+class TestRateFilter:
+    def test_random_crop_from_raises_on_no_match(self, tmp_path, rng):
+        from audio_denoising_tpu.io.wavio import write_wav
+        from audio_denoising_tpu.io.cache import AudioCache
+        p = str(tmp_path / "a.wav")
+        write_wav(p, (0.1 * rng.standard_normal(4000))[None]
+                  .astype(np.float32), 48000)
+        cache = AudioCache()
+        with pytest.raises(ValueError):
+            cache.random_crop_from([p], 1000, sample_rate=16000)
+        # matching rate works and probes via header (no decode needed)
+        crop, sr = cache.random_crop_from([p], 1000, sample_rate=48000)
+        assert crop.shape[-1] == 1000 and sr == 48000

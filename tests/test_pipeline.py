@@ -225,7 +225,7 @@ class TestWarmGriffinLim:
                + 0.3 * np.sin(2 * np.pi * 1270 * t + 1.0)
                + 0.05 * r.standard_normal(len(t))).astype(np.float32)
         F = n_fft // 2 + 1
-        rot = jnp.exp(-2j * np.pi * jnp.arange(F) * hop / n_fft)[None, :, None]
+        rot = jnp.exp(+2j * np.pi * jnp.arange(F) * hop / n_fft)[None, :, None]
 
         def err(mag, wave):
             S = jnp.abs(stft(wave, n_fft, hop, n_fft, window=win))
@@ -241,7 +241,7 @@ class TestWarmGriffinLim:
             cold = griffin_lim(mag, n_fft, hop, n_fft, window=win, n_iter=6)
             cold_errs.append(err(mag, cold))
             seed = None if prev is None else jnp.concatenate(
-                [prev[..., 1:], prev[..., -1:]], axis=-1) * rot
+                [prev[..., 1:], prev[..., -1:] * rot], axis=-1)
             out, prev = griffin_lim(mag, n_fft, hop, n_fft, window=win,
                                     n_iter=6, init_angles=seed,
                                     return_angles=True)

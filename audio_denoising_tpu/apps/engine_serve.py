@@ -22,6 +22,7 @@ corrupt another's stream).
 """
 
 import argparse
+import queue
 import socket
 import threading
 import time
@@ -61,17 +62,37 @@ class EngineDaemon:
     # -- connections ---------------------------------------------------------
     def _handle(self, conn) -> None:
         owned = set()
-        # Connection.send is not thread-safe; the tick thread replies on
-        # the same connection, so every send goes through this lock.
-        send_lock = threading.Lock()
+        closed = threading.Event()
+        # Replies are queued and drained by a per-connection sender thread:
+        # conn.send() blocks when the client's TCP buffer fills, and the
+        # tick thread (shared by every stream) calls the sinks — one client
+        # that stops reading must not wedge the whole daemon. Bounded with
+        # drop-oldest, mirroring ws_serve's degrade-to-passthrough.
+        out_q: "queue.Queue" = queue.Queue(maxsize=64)
 
         def reply(msg):
-            try:
-                with send_lock:
-                    conn.send(msg)
-            except OSError:
-                pass
+            while True:
+                try:
+                    out_q.put_nowait(msg)
+                    return
+                except queue.Full:
+                    try:
+                        out_q.get_nowait()   # drop oldest
+                    except queue.Empty:
+                        pass
 
+        def sender():
+            while not (self._stop.is_set() or closed.is_set()):
+                try:
+                    msg = out_q.get(timeout=0.25)
+                except queue.Empty:
+                    continue
+                try:
+                    conn.send(msg)
+                except (OSError, ValueError):
+                    return
+
+        threading.Thread(target=sender, daemon=True).start()
         try:
             while not self._stop.is_set():
                 try:
@@ -116,6 +137,7 @@ class EngineDaemon:
                 else:
                     reply(("err", None, f"unknown op {op!r}"))
         finally:
+            closed.set()             # terminate the sender thread
             with self._lock:
                 for sid in owned:    # eviction on disconnect
                     if sid in self.engine.slots:

@@ -39,10 +39,10 @@ def evaluate(spec: str, data_dir: str, n_examples: int = 16,
     # 8 kHz): crop in SOURCE samples, then resample both sides to the
     # model's rate before comparing. Mixed-rate corpora would be
     # pitch-shifted by a single ratio, so keep only the first file's rate.
-    from audio_denoising_tpu.io.wavio import read_wav
+    from audio_denoising_tpu.io.cache import AudioCache
     from audio_denoising_tpu.ops.resample import resample
-    src_sr = read_wav(paths[0])[1]
-    paths = [p for p in paths if read_wav(p)[1] == src_sr]
+    src_sr = AudioCache.probe_rate(paths[0])   # header-only, no decode
+    paths = [p for p in paths if AudioCache.probe_rate(p) == src_sr]
     crop = int(crop_seconds * src_sr)
     sampler = MixtureSampler(paths, crop_samples=crop,
                              batch_size=n_examples,

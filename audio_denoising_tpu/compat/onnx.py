@@ -382,7 +382,10 @@ def run_graph(graph: Graph, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarra
             x0, x1 = jnp.asarray(ins[0]), jnp.asarray(ins[1])
             if (np.issubdtype(np.asarray(ins[0]).dtype, np.integer)
                     and np.issubdtype(np.asarray(ins[1]).dtype, np.integer)):
-                out = x0 // x1       # ONNX integer Div truncates
+                # ONNX integer Div truncates TOWARD ZERO (unlike Python //,
+                # which floors: -7 // 2 == -4 but ONNX gives -3)
+                out = (jnp.sign(x0) * jnp.sign(x1)
+                       * (jnp.abs(x0) // jnp.abs(x1))).astype(x0.dtype)
             else:
                 out = x0 / x1
         elif op == "Pow":

@@ -67,19 +67,32 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
     return buf
 
 
-def handshake(sock: socket.socket) -> Optional[Tuple[str, bytes]]:
+def handshake(sock: socket.socket,
+              timeout: Optional[float] = 10.0) -> Optional[Tuple[str, bytes]]:
     """Perform the server side of the HTTP->WS upgrade. Returns
     ``(request_path, leftover_bytes)`` — leftover is anything the client
     pipelined behind the upgrade request (wrap the socket in ``Buffered``
-    with it) — or None if the request is not a websocket upgrade."""
+    with it) — or None if the request is not a websocket upgrade.
+
+    ``timeout`` bounds the handshake phase only (cleared on success): a
+    client that connects and sends nothing — or dribbles bytes — would
+    otherwise pin a daemon thread forever (slowloris)."""
+    if timeout is not None:
+        sock.settimeout(timeout)
     data = b""
-    while b"\r\n\r\n" not in data:
-        part = sock.recv(4096)
-        if not part:
-            return None
-        data += part
-        if len(data) > 65536:
-            return None
+    try:
+        while b"\r\n\r\n" not in data:
+            part = sock.recv(4096)
+            if not part:
+                return None
+            data += part
+            if len(data) > 65536:
+                return None
+    except socket.timeout:
+        return None
+    finally:
+        if timeout is not None:
+            sock.settimeout(None)
     head, leftover = data.split(b"\r\n\r\n", 1)
     head = head.decode("latin-1")
     lines = head.split("\r\n")
@@ -92,6 +105,12 @@ def handshake(sock: socket.socket) -> Optional[Tuple[str, bytes]]:
     key = headers.get("sec-websocket-key")
     if key is None or "upgrade" not in headers.get("connection", "").lower():
         sock.sendall(b"HTTP/1.1 400 Bad Request\r\n\r\n")
+        return None
+    if headers.get("sec-websocket-version", "13") != "13":
+        # RFC 6455 §4.2.2: unsupported version -> 426 with the versions
+        # the server speaks
+        sock.sendall(b"HTTP/1.1 426 Upgrade Required\r\n"
+                     b"Sec-WebSocket-Version: 13\r\n\r\n")
         return None
     accept = base64.b64encode(
         hashlib.sha1((key + _GUID).encode()).digest()).decode()

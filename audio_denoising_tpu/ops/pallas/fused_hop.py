@@ -88,6 +88,9 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
     srv = cfg.serving
     n_fft, hop, F, M = dsp.n_fft, dsp.hop_length, dsp.n_stft, dsp.n_mels
     assert n_fft % hop == 0, "fast path expects hop | n_fft (WOLA)"
+    # _dft_matrices' inverse weighting (w[1:-1]=2, Nyquist weight 1) is
+    # only correct for even n_fft; odd would silently halve the top bin
+    assert n_fft % 2 == 0, "fused hop requires even n_fft"
     L = len(plan.down_mats)
     n = plan.hidden * plan.compressed
 

@@ -213,11 +213,20 @@ PRESETS: Dict[str, Config] = {
                       reconstruction="phase"),
         model=ModelConfig(arch="UNet2d4"),
     ),
+    # The MOMO3 checkpoint's own metadata says last_target_name =
+    # 'clamped raw-spectrogram' (saves/MOMO3-4d4ea0/checkpoint.pth) and its
+    # conv geometry fixes the input at 22 bins (22->11->5->3 with strides
+    # (2,2,2), paddings (1,0,1)) — so the front-end is the signed-log clamp
+    # on a RAW 22-bin spectrum (utils.py:82-95), which forces n_fft = 42
+    # (n_stft = n_fft/2+1 = 22). The reference never serves MOMO3 (its
+    # serving notebook is a missing blob), so hop is our choice: 21 (50%
+    # overlap, hop | n_fft as the fast/fused WOLA paths require).
     "momo3-4d4ea0": Config(
-        dsp=DSPConfig(n_fft=1024, hop_length=512, n_mels=22, domain="mel",
+        dsp=DSPConfig(n_fft=42, hop_length=21, n_mels=22, domain="raw",
                       reconstruction="phase"),
         model=ModelConfig(arch="MOMO3", num_compressed_bins=3,
                           hidden_sizes=(16, 16, 16), kernel_sizes=(3, 3, 3),
                           strides=(2, 2, 2), paddings=(1, 0, 1)),
+        serving=ServingConfig(chunk_samples=21),
     ),
 }

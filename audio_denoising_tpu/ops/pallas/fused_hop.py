@@ -1,8 +1,10 @@
 """The ENTIRE serving hop as one Pallas TPU kernel.
 
 Fuses the fast-path step (runtime/engine.make_fast_step semantics:
-single-frame analysis, mel log1p, GRUUNet residual cell, inverse mel,
-noisy-phase reuse, WOLA synthesis) into a single kernel launch:
+single-frame analysis, mel log1p — or raw-spectrogram log1p for the
+'clamped raw-spectrogram' era — GRUUNet/MOMO residual cell (incl. MOMO3's
+(hx, prev) delta carry), inverse mel, noisy-phase reuse, WOLA synthesis)
+into a single kernel launch:
 
 - DFT/iDFT are matmuls against precomputed real cos/sin matrices (the MXU
   does a 640-point transform for 256 streams in ~2 us; rfft is unavailable
@@ -22,7 +24,7 @@ Semantics follow engine.make_fast_step exactly; parity is tested in
 tests/test_fused_hop.py (CPU interpret mode) and on-chip.
 """
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -59,14 +61,27 @@ class FusedHopState(NamedTuple):
     ring: jnp.ndarray   # (B, n_fft)
     ola: jnp.ndarray    # (B, n_fft)
     hx: jnp.ndarray     # (B, hidden*compressed)
+    # delta models (MOMO3): previous feature frame, the cell input's second
+    # half (cat([x_t, x_t - prev]), momo3.py:286-289). None otherwise.
+    prev: Optional[jnp.ndarray] = None
+
+
+def _feat_width(cfg: Config) -> int:
+    """Model feature width: mel bins, or raw spectrum bins (n_stft) for the
+    'clamped raw-spectrogram' era (utils.py:82-95)."""
+    return cfg.dsp.n_stft if cfg.dsp.domain == "raw" else cfg.dsp.n_mels
 
 
 def fused_hop_init_state(cfg: Config, plan, batch: int) -> FusedHopState:
     n_fft = cfg.dsp.n_fft
+    prev = None
+    if plan.delta:
+        prev = jnp.zeros((batch, _feat_width(cfg)), jnp.float32)
     return FusedHopState(
         ring=jnp.zeros((batch, n_fft), jnp.float32),
         ola=jnp.zeros((batch, n_fft), jnp.float32),
-        hx=jnp.zeros((batch, plan.hidden * plan.compressed), jnp.float32))
+        hx=jnp.zeros((batch, plan.hidden * plan.compressed), jnp.float32),
+        prev=prev)
 
 
 def make_fused_hop(cfg: Config, plan, interpret: bool = False,
@@ -93,11 +108,14 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
     assert n_fft % 2 == 0, "fused hop requires even n_fft"
     L = len(plan.down_mats)
     n = plan.hidden * plan.compressed
+    # 'raw' = clamped raw-spectrogram era (utils.py:82-95): the model eats
+    # log1p of the raw magnitude — no mel pair in the chain at all.
+    raw = dsp.domain == "raw"
+    feat = F if raw else M               # model feature width
+    delta = plan.delta                   # MOMO3 (hx, prev) carry
 
     win = np.asarray(hann_window(n_fft))
     CF, SF, IC, IS = _dft_matrices(n_fft)
-    mel = np.asarray(mel_filterbank(F, M, dsp.sample_rate))     # (F, M)
-    imel = np.asarray(inverse_mel_matrix(F, M, dsp.sample_rate)).T  # (M, F)
 
     overlap = n_fft // hop
     env = np.zeros(n_fft, np.float32)
@@ -106,39 +124,52 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
     env_hop = np.where(env[:hop] > 1e-8, env[:hop], 1.0).astype(np.float32)
 
     # Constant operands, all 2-D. Window/env as (1, n) rows.
-    consts = [CF, SF, IC, IS, mel, imel,
-              win[None, :].astype(np.float32), env_hop[None, :]]
-    weights = []
-    skip_flags = []
-    for m_, b_ in zip(plan.down_mats, plan.down_biases):
-        weights += [m_, b_[None, :]]
-    weights += [plan.reset_mat, plan.reset_bias[None, :]]
-    for i in range(L):
-        weights += [plan.up_h_mats[i], plan.up_biases[i][None, :]]
-        if plan.up_s_mats[i] is not None:
-            weights.append(plan.up_s_mats[i])
-            skip_flags.append(True)
-        else:
-            skip_flags.append(False)
+    consts = [CF, SF, IC, IS]
+    if not raw:
+        mel = np.asarray(mel_filterbank(F, M, dsp.sample_rate))     # (F, M)
+        imel = np.asarray(
+            inverse_mel_matrix(F, M, dsp.sample_rate)).T            # (M, F)
+        consts += [mel, imel]
+    consts += [win[None, :].astype(np.float32), env_hop[None, :]]
+    from audio_denoising_tpu.ops.pallas.common import (
+        pack_plan_weights, plan_cell_math)
+    weights, skip_flags = pack_plan_weights(plan)
     operands = [jnp.asarray(c) for c in consts] + \
                [jnp.asarray(w) for w in weights]
     n_consts = len(consts)
 
-    def kernel(ring_ref, ola_ref, hx_ref, chunk_ref, *refs):
-        (ring_o, ola_o, hx_o, out_o) = refs[-4:]
-        cs = refs[:n_consts]
-        w = list(refs[n_consts:-4])
-        ring, ola, hx, out = _hop_math(cs, w, ring_ref[:], ola_ref[:],
-                                       hx_ref[:], chunk_ref[:])
+    n_state = 4 if delta else 3          # ring, ola, hx[, prev]
+
+    def kernel(*refs):
+        ins = refs[:n_state + 1]                    # states + chunk
+        outs = refs[-(n_state + 1):]                # states' + out
+        cs = refs[n_state + 1:n_state + 1 + n_consts]
+        w = list(refs[n_state + 1 + n_consts:-(n_state + 1)])
+        if delta:
+            ring_ref, ola_ref, hx_ref, prev_ref, chunk_ref = ins
+            ring_o, ola_o, hx_o, prev_o, out_o = outs
+            prev_in = prev_ref[:]
+        else:
+            ring_ref, ola_ref, hx_ref, chunk_ref = ins
+            ring_o, ola_o, hx_o, out_o = outs
+            prev_in = None
+        ring, ola, hx, prev, out = _hop_math(
+            cs, w, ring_ref[:], ola_ref[:], hx_ref[:], prev_in, chunk_ref[:])
         ring_o[:] = ring
         ola_o[:] = ola
         hx_o[:] = hx
+        if delta:
+            prev_o[:] = prev
         out_o[:] = out
 
     # Shared hop body: consumes/produces plain arrays so the single-hop
     # kernel and the resident multi-hop kernel reuse identical math.
-    def _hop_math(cs, w, ring_prev, ola_prev, hx_prev, chunk):
-        cf, sf, ic, is_, melr, imelr, win_r, env_r = cs
+    # prev_prev/prev' are None for non-delta plans.
+    def _hop_math(cs, w, ring_prev, ola_prev, hx_prev, prev_prev, chunk):
+        if raw:
+            cf, sf, ic, is_, win_r, env_r = cs
+        else:
+            cf, sf, ic, is_, melr, imelr, win_r, env_r = cs
 
         def dot(a, b):
             return jnp.dot(a, b[:], preferred_element_type=jnp.float32,
@@ -149,38 +180,23 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         re = dot(frame, cf)
         im = dot(frame, sf)
         mag = jnp.sqrt(re * re + im * im)
-        x = jnp.log(1.0 + dot(mag, melr))
-        wi = 0
-        h = x
-        skips = [h]
-        for i in range(L):
-            h = jnp.maximum(dot(h, w[wi]) + w[wi + 1][0], 0.0)
-            wi += 2
-            skips.append(h)
-        gate_x = h
-        gate_h = jnp.maximum(dot(hx_prev, w[wi]) + w[wi + 1][0], 0.0)
-        wi += 2
-        i_r, i_i, i_n = (gate_x[:, :n], gate_x[:, n:2 * n], gate_x[:, 2 * n:])
-        h_r, h_i, h_n = (gate_h[:, :n], gate_h[:, n:2 * n], gate_h[:, 2 * n:])
-        inputgate = jax.nn.sigmoid(i_i + h_i)
-        resetgate = jax.nn.sigmoid(i_r + h_r)
-        newgate = jnp.tanh(i_n + resetgate * h_n)
-        hi = newgate + inputgate * (hx_prev - newgate)
-        h = hi
-        for i in range(L):
-            out = dot(h, w[wi]) + w[wi + 1][0]
-            wi += 2
-            if skip_flags[i]:
-                out = out + dot(skips[L - i], w[wi])
-                wi += 1
-            h = jnp.maximum(out, 0.0) if i != L - 1 else out
+        if raw:
+            # signed-log clamp on a magnitude == log1p (utils.py:82-95)
+            x = jnp.log(1.0 + mag)
+        else:
+            x = jnp.log(1.0 + dot(mag, melr))
+        h, hi = plan_cell_math(w, skip_flags, n, feat, delta,
+                               x, hx_prev, prev_prev)
         rec = x - h
         rec = jnp.where(rec >= 0, rec, 0.2 * rec)
-        mel_mag = jnp.maximum(jnp.exp(rec) - 1.0, 0.0)
-        # clamp: the mel pseudo-inverse projects ~13% of bins negative;
-        # inverse_mel_scale (and torchaudio) clamp to >= 0 — without it
-        # those bins resynthesize with inverted phase
-        lin = jnp.maximum(dot(mel_mag, imelr), 0.0) * srv.output_gain
+        feat_mag = jnp.maximum(jnp.exp(rec) - 1.0, 0.0)
+        if raw:
+            lin = feat_mag * srv.output_gain
+        else:
+            # clamp: the mel pseudo-inverse projects ~13% of bins negative;
+            # inverse_mel_scale (and torchaudio) clamp to >= 0 — without it
+            # those bins resynthesize with inverted phase
+            lin = jnp.maximum(dot(feat_mag, imelr), 0.0) * srv.output_gain
         # phase reuse as complex scaling; at mag ~ 0 match the fast path's
         # polar(lin, angle(0)=0) = lin + 0j
         safe = mag > 1e-8
@@ -192,7 +208,10 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         out_hop = acc[:, :hop] / env_r[0]
         ola = jnp.concatenate(
             [acc[:, hop:], jnp.zeros_like(acc[:, :hop])], axis=-1)
-        return ring, ola, hi * srv.state_decay, out_hop
+        # delta carry: prev' = this hop's input feature (momo3.py:297-323
+        # via models/momo.py cell semantics — the fast path persists it)
+        return (ring, ola, hi * srv.state_decay,
+                x if delta else None, out_hop)
 
     # int16 PCM at the kernel boundary: audio arrives as s16 in every real
     # ingest path (the reference's WebRTC frames are s16, app2.py:175-179);
@@ -205,11 +224,20 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
     assert K % U == 0, "hops_per_step must divide hops_per_call"
     KS = K // U                  # grid steps along the hop axis
 
-    def kernel_multi(ring_ref, ola_ref, hx_ref, chunk_ref, *refs):
-        ring_s, ola_s, hx_s = refs[-3:]
-        (ring_o, ola_o, hx_o, out_o) = refs[-7:-3]
-        cs = refs[:n_consts]
-        w = list(refs[n_consts:-7])
+    def kernel_multi(*refs):
+        ins = refs[:n_state + 1]                    # states + chunks
+        scratch = refs[-n_state:]                   # VMEM-resident states
+        outs = refs[-(2 * n_state + 1):-n_state]    # states' + outs
+        cs = refs[n_state + 1:n_state + 1 + n_consts]
+        w = list(refs[n_state + 1 + n_consts:-(2 * n_state + 1)])
+        if delta:
+            ring_ref, ola_ref, hx_ref, prev_ref, chunk_ref = ins
+            ring_o, ola_o, hx_o, prev_o, out_o = outs
+            ring_s, ola_s, hx_s, prev_s = scratch
+        else:
+            ring_ref, ola_ref, hx_ref, chunk_ref = ins
+            ring_o, ola_o, hx_o, out_o = outs
+            ring_s, ola_s, hx_s = scratch
         k = pl.program_id(1)
 
         @pl.when(k == 0)
@@ -217,13 +245,17 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             ring_s[:] = ring_ref[:]
             ola_s[:] = ola_ref[:]
             hx_s[:] = hx_ref[:]
+            if delta:
+                prev_s[:] = prev_ref[:]
 
         ring, ola, hx = ring_s[:], ola_s[:], hx_s[:]
+        prev = prev_s[:] if delta else None
         for u in range(U):       # unrolled: amortizes per-grid-step cost
             chunk = chunk_ref[u]
             if pcm16:            # s16 -> f32 on device (app2.py:177 scale)
                 chunk = chunk.astype(jnp.float32) * (1.0 / 32768.0)
-            ring, ola, hx, out = _hop_math(cs, w, ring, ola, hx, chunk)
+            ring, ola, hx, prev, out = _hop_math(cs, w, ring, ola, hx,
+                                                 prev, chunk)
             if pcm16:            # f32 -> s16 with clip (app2.py:246-247)
                 out = jnp.clip(out, -1.0, 1.0) * 32767.0
                 out = out.astype(jnp.int16)
@@ -231,22 +263,26 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         ring_s[:] = ring
         ola_s[:] = ola
         hx_s[:] = hx
+        if delta:
+            prev_s[:] = prev
 
         @pl.when(k == KS - 1)
         def _():
             ring_o[:] = ring
             ola_o[:] = ola
             hx_o[:] = hx
+            if delta:
+                prev_o[:] = prev
 
     def step_multi(state: FusedHopState, chunks: jnp.ndarray):
         k, b = chunks.shape[0], chunks.shape[1]
         assert k == K, f"expected {K} hops per call, got {k}"
         assert chunks.dtype == io_dtype, (chunks.dtype, io_dtype)
         bp = _round_up(b, block_b)
-        ring, ola, hx = state
+        states = [state.ring, state.ola, state.hx] + \
+            ([state.prev] if delta else [])
         if bp != b:
-            pad = lambda a: jnp.pad(a, ((0, bp - b), (0, 0)))
-            ring, ola, hx = pad(ring), pad(ola), pad(hx)
+            states = [jnp.pad(a, ((0, bp - b), (0, 0))) for a in states]
             chunks = jnp.pad(chunks, ((0, 0), (0, bp - b), (0, 0)))
         grid = (bp // block_b, KS)
         bspec = lambda width: pl.BlockSpec(
@@ -256,30 +292,28 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         const_specs = [pl.BlockSpec(op.shape, lambda i, k: (0, 0),
                                     memory_space=pltpu.VMEM)
                        for op in operands]
-        H = hx.shape[1]
-        ring2, ola2, hx2, outs = pl.pallas_call(
+        H = states[2].shape[1]
+        widths = [n_fft, n_fft, H] + ([feat] if delta else [])
+        state_specs = [bspec(wd) for wd in widths]
+        res = pl.pallas_call(
             kernel_multi,
             grid=grid,
-            in_specs=[bspec(n_fft), bspec(n_fft), bspec(H), kspec]
-            + const_specs,
-            out_specs=(bspec(n_fft), bspec(n_fft), bspec(H), kspec),
-            out_shape=(
-                jax.ShapeDtypeStruct((bp, n_fft), jnp.float32),
-                jax.ShapeDtypeStruct((bp, n_fft), jnp.float32),
-                jax.ShapeDtypeStruct((bp, H), jnp.float32),
-                jax.ShapeDtypeStruct((K, bp, hop), io_dtype),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((block_b, n_fft), jnp.float32),
-                pltpu.VMEM((block_b, n_fft), jnp.float32),
-                pltpu.VMEM((block_b, H), jnp.float32),
-            ],
+            in_specs=state_specs + [kspec] + const_specs,
+            out_specs=tuple(state_specs) + (kspec,),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((bp, wd), jnp.float32)
+                for wd in widths)
+            + (jax.ShapeDtypeStruct((K, bp, hop), io_dtype),),
+            scratch_shapes=[pltpu.VMEM((block_b, wd), jnp.float32)
+                            for wd in widths],
             interpret=interpret,
-        )(ring, ola, hx, chunks, *operands)
+        )(*states, chunks, *operands)
+        new_states, outs = list(res[:-1]), res[-1]
         if bp != b:
-            ring2, ola2, hx2 = ring2[:b], ola2[:b], hx2[:b]
+            new_states = [a[:b] for a in new_states]
             outs = outs[:, :b]
-        return FusedHopState(ring2, ola2, hx2), outs
+        return FusedHopState(*new_states[:3],
+                             prev=new_states[3] if delta else None), outs
 
     if hops_per_call > 1:
         return step_multi
@@ -291,36 +325,39 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             chunk = chunk.astype(jnp.float32) * (1.0 / 32768.0)
         b = chunk.shape[0]
         bp = _round_up(b, block_b)
-        ring, ola, hx = state
+        states = [state.ring, state.ola, state.hx] + \
+            ([state.prev] if delta else [])
         if bp != b:
-            pad = lambda a: jnp.pad(a, ((0, bp - b), (0, 0)))
-            ring, ola, hx, chunk = pad(ring), pad(ola), pad(hx), pad(chunk)
+            states = [jnp.pad(a, ((0, bp - b), (0, 0))) for a in states]
+            chunk = jnp.pad(chunk, ((0, bp - b), (0, 0)))
         grid = (bp // block_b,)
         bspec = lambda width: pl.BlockSpec(
             (block_b, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
         const_specs = [pl.BlockSpec(op.shape, lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)
                        for op in operands]
-        ring2, ola2, hx2, out = pl.pallas_call(
+        H = states[2].shape[1]
+        widths = [n_fft, n_fft, H] + ([feat] if delta else [])
+        state_specs = [bspec(wd) for wd in widths]
+        res = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[bspec(n_fft), bspec(n_fft), bspec(hx.shape[1]),
-                      bspec(hop)] + const_specs,
-            out_specs=(bspec(n_fft), bspec(n_fft), bspec(hx.shape[1]),
-                       bspec(hop)),
-            out_shape=(
-                jax.ShapeDtypeStruct((bp, n_fft), jnp.float32),
-                jax.ShapeDtypeStruct((bp, n_fft), jnp.float32),
-                jax.ShapeDtypeStruct((bp, hx.shape[1]), jnp.float32),
-                jax.ShapeDtypeStruct((bp, hop), jnp.float32),
-            ),
+            in_specs=state_specs + [bspec(hop)] + const_specs,
+            out_specs=tuple(state_specs) + (bspec(hop),),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((bp, wd), jnp.float32)
+                for wd in widths)
+            + (jax.ShapeDtypeStruct((bp, hop), jnp.float32),),
             interpret=interpret,
-        )(ring, ola, hx, chunk, *operands)
+        )(*states, chunk, *operands)
+        new_states, out = list(res[:-1]), res[-1]
         if bp != b:
-            ring2, ola2, hx2, out = (ring2[:b], ola2[:b], hx2[:b], out[:b])
+            new_states = [a[:b] for a in new_states]
+            out = out[:b]
         if pcm16:
             out = (jnp.clip(out, -1.0, 1.0) * 32767.0).astype(jnp.int16)
-        return FusedHopState(ring2, ola2, hx2), out
+        return FusedHopState(*new_states[:3],
+                             prev=new_states[3] if delta else None), out
 
     return step
 
@@ -333,15 +370,26 @@ def make_fused_hop_sharded(cfg: Config, plan, mesh, interpret: bool = False,
     a mesh; there is no cross-chip communication in the hop)."""
     from functools import partial
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    import inspect
+    try:
+        from jax import shard_map
+    except ImportError:                  # older jax
+        from jax.experimental.shard_map import shard_map
+    # replication checking must be off (pallas_call has no rep rule);
+    # the kwarg was renamed check_rep -> check_vma across jax versions
+    sig = inspect.signature(shard_map).parameters
+    check_kw = {"check_vma": False} if "check_vma" in sig else \
+               {"check_rep": False}
 
     step = make_fused_hop(cfg, plan, interpret=interpret, block_b=block_b,
                           hops_per_call=hops_per_call)
     axis = mesh.axis_names[0]
-    state_spec = FusedHopState(ring=P(axis), ola=P(axis), hx=P(axis))
+    state_spec = FusedHopState(
+        ring=P(axis), ola=P(axis), hx=P(axis),
+        prev=P(axis) if plan.delta else None)
     chunk_spec = P(None, axis) if hops_per_call > 1 else P(axis)
 
     return shard_map(step, mesh=mesh,
                      in_specs=(state_spec, chunk_spec),
                      out_specs=(state_spec, chunk_spec),
-                     check_rep=False)
+                     **check_kw)

@@ -36,10 +36,31 @@ from audio_denoising_tpu.ops import (
 
 def _transforms(cfg: Config):
     dsp = cfg.dsp
+    if dsp.domain == "raw":
+        # clamped raw-spectrogram era (utils.py:82-95): features are log1p
+        # of the raw magnitude at n_stft bins — no mel pair in the chain.
+        assert dsp.n_mels == dsp.n_stft, (
+            "raw domain: n_mels must equal n_stft (feature width)")
+        return None, None, hann_window(dsp.win)
     fb = mel_filterbank(dsp.n_stft, dsp.n_mels, dsp.sample_rate)
     inv = inverse_mel_matrix(dsp.n_stft, dsp.n_mels, dsp.sample_rate)
     win = hann_window(dsp.win)
     return fb, inv, win
+
+
+def _to_features(cfg: Config, mag: jnp.ndarray, fb) -> jnp.ndarray:
+    """(B, F, T) magnitude -> (B, M, T) model features per cfg.dsp.domain."""
+    if cfg.dsp.domain == "raw":
+        return jnp.log1p(mag)     # signed-log clamp == log1p on magnitudes
+    return jnp.log1p(mel_scale(mag, fb))
+
+
+def _to_linear(cfg: Config, feat_out: jnp.ndarray, inv) -> jnp.ndarray:
+    """(B, M, T) reconstructed features -> (B, F, T) linear magnitude."""
+    lin = jnp.maximum(jnp.expm1(feat_out), 0.0)
+    if cfg.dsp.domain == "raw":
+        return lin
+    return inverse_mel_scale(lin, inv)
 
 
 # --------------------------------------------------------------------------
@@ -62,12 +83,11 @@ def offline_denoise(cfg: Config, model, params, audio: jnp.ndarray,
 
     spec = stft(audio, dsp.n_fft, dsp.hop_length, dsp.win, window=win)
     mag = jnp.abs(spec)
-    logmel = jnp.log1p(mel_scale(mag, fb))                 # (B, M, T)
+    logmel = _to_features(cfg, mag, fb)                    # (B, M, T)
     x = jnp.swapaxes(logmel, -1, -2)                       # (B, T, M)
     resid, _ = model.apply(params, x, hx)
     recon = jax.nn.leaky_relu(x - resid, negative_slope=0.2)
-    mel_mag = jnp.maximum(jnp.expm1(jnp.swapaxes(recon, -1, -2)), 0.0)
-    lin_mag = inverse_mel_scale(mel_mag, inv)              # (B, F, T)
+    lin_mag = _to_linear(cfg, jnp.swapaxes(recon, -1, -2), inv)  # (B, F, T)
 
     if dsp.reconstruction == "phase":
         phase = jnp.angle(spec)

@@ -66,8 +66,16 @@ def make_fast_step(cfg: Config, model):
     srv = cfg.serving
     n_fft, hop = dsp.n_fft, dsp.hop_length
     assert n_fft % hop == 0, "fast mode expects hop | n_fft (WOLA)"
-    fb = mel_filterbank(dsp.n_stft, dsp.n_mels, dsp.sample_rate)
-    inv = inverse_mel_matrix(dsp.n_stft, dsp.n_mels, dsp.sample_rate)
+    # 'raw' = the clamped raw-spectrogram era (utils.py:82-95): the model
+    # eats log1p of the raw magnitude at n_stft bins, no mel pair at all.
+    raw = dsp.domain == "raw"
+    if raw:
+        assert dsp.n_mels == dsp.n_stft, (
+            "raw domain: n_mels must equal n_stft (feature width)")
+        fb = inv = None
+    else:
+        fb = mel_filterbank(dsp.n_stft, dsp.n_mels, dsp.sample_rate)
+        inv = inverse_mel_matrix(dsp.n_stft, dsp.n_mels, dsp.sample_rate)
     win = hann_window(n_fft)
     # WOLA envelope: sum of win^2 across overlapping offsets (constant for
     # periodic Hann at hop | n_fft); guard tiny values.
@@ -84,15 +92,22 @@ def make_fast_step(cfg: Config, model):
         spec = jnp.fft.rfft(frame, n=n_fft, axis=-1)         # (B, F)
         mag = jnp.abs(spec)
         phase = jnp.angle(spec)
-        logmel = jnp.log1p(mel_scale(mag[..., None], fb))    # (B, M, 1)
-        x_t = logmel[..., 0]                                 # (B, M)
+        if raw:
+            # signed-log clamp on a magnitude == log1p (utils.py:82-95)
+            x_t = jnp.log1p(mag)                             # (B, F)
+        else:
+            logmel = jnp.log1p(mel_scale(mag[..., None], fb))  # (B, M, 1)
+            x_t = logmel[..., 0]                             # (B, M)
         # single-cell step with the FULL carry (init_carry): delta models
         # (MOMO3) persist their previous frame across hops here — apply()
         # would re-zero the delta every hop
         resid_t, hx = model.cell(params, x_t, state.hx)
         out = jax.nn.leaky_relu(x_t - resid_t, negative_slope=0.2)
-        mel_mag = jnp.maximum(jnp.expm1(out), 0.0)[..., None]  # (B, M, 1)
-        lin = inverse_mel_scale(mel_mag, inv)[..., 0]        # (B, F)
+        if raw:
+            lin = jnp.maximum(jnp.expm1(out), 0.0)           # (B, F)
+        else:
+            mel_mag = jnp.maximum(jnp.expm1(out), 0.0)[..., None]
+            lin = inverse_mel_scale(mel_mag, inv)[..., 0]    # (B, F)
         lin = lin * srv.output_gain
         hx = _decay_carry(model, hx, srv.state_decay)
         rec = lin * jnp.exp(1j * phase)
@@ -143,13 +158,17 @@ class StreamEngine:
             self.state = webrtc_init_state(cfg, model, self.n)
             self._zero_one = webrtc_init_state(cfg, model, 1)
         elif mode == "fused":
-            # one-kernel Pallas hop (GRUUNet family only); params baked in.
-            # pallas_call is not auto-partitionable, so with a mesh the
+            # one-kernel Pallas hop (GRUUNet + MOMO families); params baked
+            # in. pallas_call is not auto-partitionable, so with a mesh the
             # kernel is wrapped in shard_map (each device runs its shard).
             from audio_denoising_tpu.ops.pallas.fused_hop import (
                 fused_hop_init_state, make_fused_hop, make_fused_hop_sharded)
-            from audio_denoising_tpu.runtime.plan import build_cell_plan
-            plan = build_cell_plan(model, params)
+            from audio_denoising_tpu.runtime.plan import (
+                build_cell_plan, build_cell_plan_momo)
+            if hasattr(model, "geo"):       # MOMO family (delta carry)
+                plan = build_cell_plan_momo(model, params)
+            else:
+                plan = build_cell_plan(model, params)
             if mesh is not None:
                 hop_step = make_fused_hop_sharded(cfg, plan, mesh)
             else:

@@ -46,10 +46,16 @@ class CellPlan(NamedTuple):
 
 
 def _probe_affine(fn, n_in: int, dtype=jnp.float32):
-    """fn maps (B, n_in) -> (B, n_out) affinely; recover (matrix, bias)."""
+    """fn maps (B, n_in) -> (B, n_out) affinely; recover (matrix, bias).
+
+    Probing runs at fp32 matmul precision: on TPU the conv ops being
+    probed default to bf16 inputs, which would bake ~1e-3 relative error
+    INTO the plan matrices themselves (one-time cost, so precision is
+    free here)."""
     eye = jnp.concatenate([jnp.zeros((1, n_in), dtype),
                            jnp.eye(n_in, dtype=dtype)], axis=0)
-    out = fn(eye)
+    with jax.default_matmul_precision("float32"):
+        out = fn(eye)
     bias = out[0]
     mat = out[1:] - bias[None, :]
     return mat, bias

@@ -180,6 +180,94 @@ class TestShardedFusedHop:
             fh.make_fused_hop = orig
 
 
+@pytest.fixture(scope="module")
+def momo_setup():
+    """MOMO3-4d4ea0: delta carry (hx, prev) + raw-spectrogram domain."""
+    from audio_denoising_tpu.hub import load_pretrained
+    from audio_denoising_tpu.runtime.plan import build_cell_plan_momo
+    cfg, model, params = load_pretrained("momo3-4d4ea0")
+    plan = build_cell_plan_momo(model, params)
+    return cfg, model, params, plan
+
+
+class TestFusedHopMomo3:
+    def test_matches_fast_step(self, momo_setup, rng):
+        """The fused hop with the delta carry must track make_fast_step on
+        the shipped MOMO3 checkpoint (momo3.py:286-289 delta semantics)."""
+        cfg, model, params, plan = momo_setup
+        assert plan.delta
+        B, hop = 4, cfg.dsp.hop_length
+        fast = make_fast_step(cfg, model)
+        fused = make_fused_hop(cfg, plan, interpret=True)
+        s0 = fast_init_state(cfg, model, B)
+        s1 = fused_hop_init_state(cfg, plan, B)
+        assert s1.prev is not None and s1.prev.shape == (B, cfg.dsp.n_stft)
+        for t in range(5):
+            chunk = jnp.asarray(0.1 * rng.standard_normal((B, hop)),
+                                jnp.float32)
+            s0, out0 = fast(params, s0, chunk)
+            s1, out1 = fused(s1, chunk)
+            np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                                       atol=1e-5)
+            hx0, prev0 = s0.hx
+            np.testing.assert_allclose(
+                np.asarray(hx0).reshape(B, -1), np.asarray(s1.hx),
+                atol=1e-5)
+            np.testing.assert_allclose(np.asarray(prev0),
+                                       np.asarray(s1.prev), atol=1e-5)
+
+    def test_resident_multi_hop_carries_prev(self, momo_setup, rng):
+        """K hops in one pallas_call: the prev frame lives in VMEM scratch
+        across grid steps and matches K sequential single hops."""
+        cfg, model, params, plan = momo_setup
+        B, K, hop = 3, 4, cfg.dsp.hop_length
+        single = make_fused_hop(cfg, plan, interpret=True)
+        multi = make_fused_hop(cfg, plan, interpret=True, hops_per_call=K)
+        chunks = jnp.asarray(0.1 * rng.standard_normal((K, B, hop)),
+                             jnp.float32)
+        s = fused_hop_init_state(cfg, plan, B)
+        s1, outs1 = s, []
+        for t in range(K):
+            s1, o = single(s1, chunks[t])
+            outs1.append(np.asarray(o))
+        s2, outs2 = multi(s, chunks)
+        np.testing.assert_allclose(np.stack(outs1), np.asarray(outs2),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s1.hx), np.asarray(s2.hx),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s1.prev), np.asarray(s2.prev),
+                                   atol=1e-6)
+
+    def test_engine_fused_momo_masked_commit(self, momo_setup, rng):
+        """StreamEngine mode='fused' dispatches the momo plan; masked
+        commits must hold back BOTH hx and prev for slots without a chunk
+        (per-stream determinism under load)."""
+        cfg, model, params, plan = momo_setup
+        import audio_denoising_tpu.ops.pallas.fused_hop as fh
+        orig = fh.make_fused_hop
+        try:
+            fh.make_fused_hop = lambda c, p, **kw: orig(c, p, interpret=True)
+            from audio_denoising_tpu.runtime.engine import StreamEngine
+            eng = StreamEngine(cfg, model, params, mode="fused",
+                               max_streams=4, jit=False)
+            assert eng.state.prev is not None
+            eng.add_stream("a")
+            eng.add_stream("b")
+            hop = cfg.dsp.hop_length
+            chunk = (0.1 * rng.standard_normal(hop)).astype(np.float32)
+            eng.process({"a": chunk, "b": chunk})
+            prev_b = np.asarray(eng.state.prev[eng.slots["b"]]).copy()
+            hx_b = np.asarray(eng.state.hx[eng.slots["b"]]).copy()
+            # tick WITHOUT b: its carry must not move
+            eng.process({"a": chunk})
+            np.testing.assert_array_equal(
+                np.asarray(eng.state.prev[eng.slots["b"]]), prev_b)
+            np.testing.assert_array_equal(
+                np.asarray(eng.state.hx[eng.slots["b"]]), hx_b)
+        finally:
+            fh.make_fused_hop = orig
+
+
 class TestResidentKernelVariants:
     def test_hops_per_step_unroll_bit_exact(self, setup, rng):
         from audio_denoising_tpu.ops.pallas.fused_hop import (

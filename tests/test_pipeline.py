@@ -149,6 +149,34 @@ class TestOffline:
         assert out.shape == audio.shape
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_offline_raw_domain_momo3(self):
+        """The MOMO3 checkpoint's own era: clamped RAW-spectrogram features
+        (checkpoint last_target_name; utils.py:82-95) at its geometry-fixed
+        22 bins — the offline chain must run through the raw/clamp domain
+        (no mel pair) with the shipped weights."""
+        from audio_denoising_tpu.hub import load_pretrained
+        cfg, model, params = load_pretrained("momo3-4d4ea0")
+        assert cfg.dsp.domain == "raw"
+        assert cfg.dsp.n_stft == model.num_bins == 22
+        rng = np.random.default_rng(7)
+        audio = jnp.asarray(
+            rng.standard_normal(4200).astype(np.float32) * 0.1)
+        out = offline_denoise(cfg, model, params, audio)
+        assert out.shape == audio.shape
+        assert np.isfinite(np.asarray(out)).all()
+        # raw domain round-trip sanity: an identity model (resid == 0)
+        # through the same chain reconstructs the input (phase reuse +
+        # log1p/expm1 are exact inverses without a mel projection)
+        class _Id:
+            num_bins = 22
+            def init_state(self, b, dtype=jnp.float32):
+                return jnp.zeros((b, 1), dtype)
+            def apply(self, params, x, hx=None):
+                return jnp.zeros_like(x), hx
+        out_id = offline_denoise(cfg, _Id(), {}, audio)
+        np.testing.assert_allclose(np.asarray(out_id), np.asarray(audio),
+                                   atol=1e-4)
+
     def test_denoiser_actually_denoises(self):
         """A tone + noise mixture must come out closer (in mel log space) to
         the clean tone than the mixture was — the model's training target."""

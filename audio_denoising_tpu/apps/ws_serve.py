@@ -192,7 +192,9 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="localhost")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--max-streams", type=int, default=256)
-    p.add_argument("--mode", choices=["fast", "webrtc"], default="fast")
+    p.add_argument("--mode",
+                   choices=["fast", "webrtc", "fused", "fused-webrtc"],
+                   default="fast")
     p.add_argument("--pipeline-depth", type=int, default=2)
     args = p.parse_args(argv)
     WSDaemon(args.model, args.host, args.port, args.max_streams,

@@ -123,6 +123,10 @@ class ServingConfig:
 
     max_streams: int = 256
     chunk_samples: int = 768          # samples consumed per stream per step
+    # matmul compute dtype for the fused serving kernels ('float32' or
+    # 'bfloat16'): bf16 doubles MXU rate / halves weight VMEM at a
+    # test-locked parity bound (tests/test_fused_hop.py,
+    # tests/test_webrtc_hop.py). State always stays fp32.
     dtype: str = "float32"
     mesh_axis: str = "streams"        # 1-D mesh axis the batch is sharded over
     state_decay: float = 1.0          # server.py:214 uses hx *= 0.9

@@ -41,7 +41,7 @@ def pack_plan_weights(plan) -> Tuple[List, List[bool]]:
 
 
 def plan_cell_math(w, skip_flags, n: int, feat: int, delta: bool,
-                   x, hx, prev=None):
+                   x, hx, prev=None, compute_dtype=None):
     """One cell step on in-kernel arrays/refs.
 
     ``w``: packed weight refs/arrays (pack_plan_weights order); ``x``:
@@ -49,11 +49,23 @@ def plan_cell_math(w, skip_flags, n: int, feat: int, delta: bool,
     (B, feat) previous feature for delta (MOMO3) plans. Returns
     (y (B, feat_out), hi (B, n)) — the caller applies state decay and
     carries prev' = x. Semantics: runtime/plan.plan_cell (gruunet2.py
-    :228-244 / momo3.py:286-289 via the probed plan)."""
+    :228-244 / momo3.py:286-289 via the probed plan).
+
+    ``compute_dtype=bfloat16``: the caller stores the weight MATRICES in
+    bf16 (biases stay fp32); activations cast to bf16 at each matmul,
+    fp32 accumulate — the reduced-precision serving variant."""
     L = len(skip_flags)
+    bf = compute_dtype is not None and \
+        jnp.dtype(compute_dtype) != jnp.dtype(jnp.float32)
+
+    def mdot(a, m):
+        if bf:
+            return jnp.dot(a.astype(jnp.bfloat16), m,
+                           preferred_element_type=jnp.float32)
+        return hdot(a, m)
 
     def dot(a, b):
-        return hdot(a, b[:] if hasattr(b, "shape") else b)
+        return mdot(a, b[:] if hasattr(b, "shape") else b)
 
     wi = 0
     h = x
@@ -63,7 +75,7 @@ def plan_cell_math(w, skip_flags, n: int, feat: int, delta: bool,
             # level 0 is affine in (x, prev) jointly — split the 2F-row
             # matrix instead of materializing cat(x, prev)
             w0 = w[0][:]
-            h = jnp.maximum(hdot(h, w0[:feat]) + hdot(prev, w0[feat:])
+            h = jnp.maximum(mdot(h, w0[:feat]) + mdot(prev, w0[feat:])
                             + w[1][0], 0.0)
         else:
             h = jnp.maximum(dot(h, w[wi]) + w[wi + 1][0], 0.0)

@@ -86,7 +86,8 @@ def fused_hop_init_state(cfg: Config, plan, batch: int) -> FusedHopState:
 
 def make_fused_hop(cfg: Config, plan, interpret: bool = False,
                    block_b: int = 128, hops_per_call: int = 1,
-                   hops_per_step: int = 1, io_dtype=jnp.float32):
+                   hops_per_step: int = 1, io_dtype=jnp.float32,
+                   compute_dtype=jnp.float32):
     """One-kernel serving hop(s).
 
     hops_per_call == 1 -> ``step(state, chunk (B, hop)) -> (state', out)``,
@@ -98,6 +99,13 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
     (grid = (B_tiles, K); scratch persists per core across the grid, so
     the sequential K dimension never leaves the chip — the throughput
     path: no per-hop kernel-launch or state HBM round trips at all).
+
+    ``compute_dtype=bfloat16``: all matrix operands (DFT pair, mel pair,
+    plan matrices — biases/state stay fp32) stored bf16; matmuls run
+    single-pass at 2x MXU rate and half the weight VMEM. Parity bound vs
+    the fp32 kernel is test-locked (tests/test_fused_hop.py) — dead
+    weight on the relay-attached chip (dispatch-bound), but the first
+    knob to flip on a locally-attached deployment.
     """
     dsp = cfg.dsp
     srv = cfg.serving
@@ -134,8 +142,13 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
     from audio_denoising_tpu.ops.pallas.common import (
         pack_plan_weights, plan_cell_math)
     weights, skip_flags = pack_plan_weights(plan)
-    operands = [jnp.asarray(c) for c in consts] + \
-               [jnp.asarray(w) for w in weights]
+    # bf16 variant: matrices (shape[0] > 1) stored bf16; bias/window/env
+    # rows (1, n) and all state stay fp32
+    bf = jnp.dtype(compute_dtype) != jnp.dtype(jnp.float32)
+    cast = (lambda a: a.astype(jnp.bfloat16)
+            if (bf and a.shape[0] > 1) else a)
+    operands = [cast(jnp.asarray(c)) for c in consts] + \
+               [cast(jnp.asarray(w)) for w in weights]
     n_consts = len(consts)
 
     n_state = 4 if delta else 3          # ring, ola, hx[, prev]
@@ -172,6 +185,9 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             cf, sf, ic, is_, melr, imelr, win_r, env_r = cs
 
         def dot(a, b):
+            if bf:
+                return jnp.dot(a.astype(jnp.bfloat16), b[:],
+                               preferred_element_type=jnp.float32)
             return jnp.dot(a, b[:], preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
 
@@ -186,7 +202,8 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         else:
             x = jnp.log(1.0 + dot(mag, melr))
         h, hi = plan_cell_math(w, skip_flags, n, feat, delta,
-                               x, hx_prev, prev_prev)
+                               x, hx_prev, prev_prev,
+                               compute_dtype=compute_dtype)
         rec = x - h
         rec = jnp.where(rec >= 0, rec, 0.2 * rec)
         feat_mag = jnp.maximum(jnp.exp(rec) - 1.0, 0.0)

@@ -151,7 +151,11 @@ class WebRTCState(NamedTuple):
     ring: jnp.ndarray   # (B, n_fft) input window
     ola: jnp.ndarray    # (B, n_fft) overlap-add accumulator
     hx: jnp.ndarray     # model hidden state
-    gl_angles: Optional[jnp.ndarray] = None  # (B, F, T) carried GL phases
+    # carried GL phases as REAL (B, F, T, 2) [..., (re, im)]: complex
+    # arrays cannot cross host<->device on the axon TPU backend
+    # (device_put of complex64 is UNIMPLEMENTED), so state leaves jit as
+    # real planes and re-wraps inside the step
+    gl_angles: Optional[jnp.ndarray] = None
 
 
 def _webrtc_frames(cfg: Config) -> int:
@@ -164,9 +168,12 @@ def webrtc_init_state(cfg: Config, model, batch: int,
     n_fft = cfg.dsp.n_fft
     angles = None
     if cfg.dsp.griffin_lim_warm_start:
-        angles = jnp.full(
-            (batch, cfg.dsp.n_stft, _webrtc_frames(cfg)), 1.0 + 0.0j,
-            jnp.complex64)
+        # warm seed 1+0j, stored as real (re, im) planes (see WebRTCState)
+        import numpy as _np
+        a = _np.zeros((batch, cfg.dsp.n_stft, _webrtc_frames(cfg), 2),
+                      _np.float32)
+        a[..., 0] = 1.0
+        angles = jnp.asarray(a)
     return WebRTCState(
         ring=jnp.zeros((batch, n_fft), dtype),
         ola=jnp.zeros((batch, n_fft), dtype),
@@ -189,8 +196,12 @@ def make_webrtc_step(cfg: Config, model):
     # rotate-all and no-rotation on steady tones; sign follows the
     # e^{-2pi i kn/N} rfft convention where advancing time by `hop`
     # multiplies bin k by e^{+2pi i k hop/N})
-    gl_rot = jnp.exp(+2j * jnp.pi * jnp.arange(dsp.n_stft) * hop / n_fft
-                     )[None, :, None]
+    # kept as a host numpy constant: it enters the graph at trace time
+    # (complex arrays cannot be device_put on the axon TPU backend)
+    import numpy as _np
+    gl_rot = _np.exp(
+        +2j * _np.pi * _np.arange(dsp.n_stft) * hop / n_fft
+    )[None, :, None].astype(_np.complex64)
 
     def step(params, state: WebRTCState,
              chunk: jnp.ndarray) -> Tuple[WebRTCState, jnp.ndarray]:
@@ -214,14 +225,16 @@ def make_webrtc_step(cfg: Config, model):
             # re-seed from the carried phases, shifted one frame (the
             # window advanced one hop); the new frame reuses the last
             # frame's estimate — RTISI-style streaming Griffin-Lim.
+            carried = jax.lax.complex(state.gl_angles[..., 0],
+                                      state.gl_angles[..., 1])
             seed = jnp.concatenate(
-                [state.gl_angles[..., 1:],
-                 state.gl_angles[..., -1:] * gl_rot], axis=-1)
-            frame, angles = griffin_lim(
+                [carried[..., 1:], carried[..., -1:] * gl_rot], axis=-1)
+            frame, angles_c = griffin_lim(
                 lin_mag, n_fft, hop, dsp.win, window=win,
                 n_iter=dsp.griffin_lim_iters,
                 momentum=dsp.griffin_lim_momentum,
                 init_angles=seed, return_angles=True)
+            angles = jnp.stack([angles_c.real, angles_c.imag], axis=-1)
         else:
             angles = state.gl_angles
             frame = griffin_lim(lin_mag, n_fft, hop, dsp.win, window=win,

@@ -157,6 +157,22 @@ class StreamEngine:
             step = make_webrtc_step(cfg, model)
             self.state = webrtc_init_state(cfg, model, self.n)
             self._zero_one = webrtc_init_state(cfg, model, 1)
+        elif mode == "fused-webrtc":
+            # one-kernel webrtc hop with in-kernel warm-start Griffin-Lim
+            # (app2.py:174-233 fused; the GL matmuls live in VMEM).
+            from audio_denoising_tpu.ops.pallas.webrtc_hop import (
+                make_webrtc_hop, webrtc_hop_init_state)
+            from audio_denoising_tpu.runtime.plan import build_cell_plan
+            plan = build_cell_plan(model, params)
+            # batch tile: 128 saturates the MXU; smaller engines tile to
+            # their (8-aligned) slot count to avoid padded compute
+            block = min(128, (self.n + 7) // 8 * 8)
+            hop_step = make_webrtc_hop(
+                cfg, plan, block_b=block,
+                compute_dtype=jnp.dtype(cfg.serving.dtype))
+            step = lambda params, state, chunk: hop_step(state, chunk)
+            self.state = webrtc_hop_init_state(cfg, plan, self.n)
+            self._zero_one = webrtc_hop_init_state(cfg, plan, 1)
         elif mode == "fused":
             # one-kernel Pallas hop (GRUUNet + MOMO families); params baked
             # in. pallas_call is not auto-partitionable, so with a mesh the
@@ -172,7 +188,8 @@ class StreamEngine:
             if mesh is not None:
                 hop_step = make_fused_hop_sharded(cfg, plan, mesh)
             else:
-                hop_step = make_fused_hop(cfg, plan)
+                hop_step = make_fused_hop(
+                    cfg, plan, compute_dtype=jnp.dtype(cfg.serving.dtype))
             step = lambda params, state, chunk: hop_step(state, chunk)
             self.state = fused_hop_init_state(cfg, plan, self.n)
             self._zero_one = fused_hop_init_state(cfg, plan, 1)

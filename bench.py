@@ -134,12 +134,101 @@ def main() -> None:
           f"(dominated by the chip attachment's d2h on relayed setups)",
           file=sys.stderr)
 
+    # Extra variant rows (stderr; ADT_BENCH_VARIANTS=1): bf16 fast hop,
+    # MOMO3 delta fast hop, fused webrtc GL-8. Off by default to keep the
+    # headline run fast.
+    if os.environ.get("ADT_BENCH_VARIANTS") == "1":
+        _bench_variants(cfg, model, params, chunks, K, hop)
+
     print(json.dumps({
         "metric": "p50_ms_per_20ms_hop_256_streams",
         "value": round(p50, 4),
         "unit": "ms",
         "vs_baseline": round(REF_MODEL_ONLY_MS / p50, 3),
     }))
+
+
+def _bench_variants(cfg, model, params, chunks, K, hop):
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from audio_denoising_tpu.ops.pallas.fused_hop import (
+        fused_hop_init_state, make_fused_hop)
+    from audio_denoising_tpu.runtime.plan import (
+        build_cell_plan, build_cell_plan_momo)
+
+    def measure(fn, *args):
+        for _ in range(3):
+            _s, out = fn(*args)
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            _s, out = fn(*args)
+            jax.block_until_ready(out)
+            ts.append((time.perf_counter() - t0) * 1e3 / K)
+        return float(np.percentile(ts, 50))
+
+    plan = build_cell_plan(model, params)
+    b16 = jax.jit(make_fused_hop(cfg, plan, hops_per_call=K,
+                                 compute_dtype=jnp.bfloat16))
+    s0 = fused_hop_init_state(cfg, plan, N_STREAMS)
+    print(f"variant=fused_hop_bf16 p50={measure(b16, s0, chunks):.3f}ms",
+          file=sys.stderr)
+
+    try:
+        from audio_denoising_tpu.hub import load_pretrained
+        mcfg, mmodel, mparams = load_pretrained("momo3-4d4ea0")
+        mcfg = dataclasses.replace(
+            mcfg, serving=dataclasses.replace(mcfg.serving,
+                                              max_streams=N_STREAMS))
+        mplan = build_cell_plan_momo(mmodel, mparams)
+        mhop = mcfg.dsp.hop_length
+        mstep = jax.jit(make_fused_hop(mcfg, mplan, hops_per_call=K))
+        ms0 = fused_hop_init_state(mcfg, mplan, N_STREAMS)
+        mchunks = jnp.zeros((K, N_STREAMS, mhop), jnp.float32)
+        print(f"variant=fused_hop_momo3_raw p50="
+              f"{measure(mstep, ms0, mchunks):.3f}ms "
+              f"(hop {mhop / mcfg.dsp.sample_rate * 1e3:.2f}ms raw-22bin)",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"momo3 variant skipped: {e}", file=sys.stderr)
+
+    try:
+        from audio_denoising_tpu.hub import load_pretrained
+        from audio_denoising_tpu.ops.pallas.webrtc_hop import (
+            make_webrtc_hop, webrtc_hop_init_state)
+        wcfg, wmodel, wparams = load_pretrained("gruunet2-dari_tult")
+        wcfg = dataclasses.replace(wcfg, dsp=dataclasses.replace(
+            wcfg.dsp, griffin_lim_warm_start=True, griffin_lim_iters=8))
+        wplan = build_cell_plan(wmodel, wparams)
+        whop = wcfg.dsp.hop_length
+        wstep0 = make_webrtc_hop(wcfg, wplan, block_b=128)
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=2)
+        def run_w(state, cks, k):
+            def body(s, c):
+                s, o = wstep0(s, c)
+                return s, o[:, :1]
+            return jax.lax.scan(body, state, cks)
+
+        ws0 = webrtc_hop_init_state(wcfg, wplan, N_STREAMS)
+        wchunks = jnp.zeros((K // 2, N_STREAMS, whop), jnp.float32)
+        for _ in range(2):
+            _s, out = run_w(ws0, wchunks, K // 2)
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            _s, out = run_w(ws0, wchunks, K // 2)
+            jax.block_until_ready(out)
+            ts.append((time.perf_counter() - t0) * 1e3 / (K // 2))
+        print(f"variant=fused_webrtc_gl8 p50={np.percentile(ts, 50):.3f}ms "
+              f"(hop {whop / wcfg.dsp.sample_rate * 1e3:.0f}ms @48kHz)",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"webrtc variant skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -64,6 +64,32 @@ class TestFusedHop:
         assert out.shape == (B, hop)
         assert np.all(np.isfinite(np.asarray(out)))
 
+    def test_bf16_compute_dtype_bounded(self, setup, rng):
+        """ServingConfig.dtype='bfloat16' variant: matrices bf16, state
+        fp32. On a real chip this doubles MXU rate and halves weight
+        VMEM; parity vs the fp32 kernel is bounded here (bf16 carries ~8
+        mantissa bits -> ~4e-3 relative through the DFT/mel/cell chain)."""
+        cfg, model, params, plan = setup
+        B, hop = 4, cfg.dsp.hop_length
+        f32 = make_fused_hop(cfg, plan, interpret=True)
+        b16 = make_fused_hop(cfg, plan, interpret=True,
+                             compute_dtype=jnp.bfloat16)
+        s1 = fused_hop_init_state(cfg, plan, B)
+        s2 = fused_hop_init_state(cfg, plan, B)
+        worst = 0.0
+        for t in range(4):
+            chunk = jnp.asarray(0.1 * rng.standard_normal((B, hop)),
+                                jnp.float32)
+            s1, o1 = f32(s1, chunk)
+            s2, o2 = b16(s2, chunk)
+            scale = max(float(np.abs(np.asarray(o1)).max()), 1e-3)
+            worst = max(worst, float(
+                np.abs(np.asarray(o1) - np.asarray(o2)).max()) / scale)
+        assert worst < 5e-2, worst
+        # hidden state stays bounded too (it feeds the recurrence)
+        np.testing.assert_allclose(np.asarray(s1.hx), np.asarray(s2.hx),
+                                   atol=5e-2)
+
     def test_dft_matrices(self, rng):
         from audio_denoising_tpu.ops.pallas.fused_hop import _dft_matrices
         N = 640

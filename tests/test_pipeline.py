@@ -66,6 +66,53 @@ class TestWebRTCPath:
         np.testing.assert_allclose(np.asarray(hx), g["final_hx"],
                                    atol=1e-3, rtol=1e-3)
 
+    def test_waveform_golden(self):
+        """Output AUDIO of the full webrtc loop vs the executed-reference
+        golden (inverse mel + GriffinLim-32 + peak de-norm + OLA,
+        tools/make_goldens.golden_webrtc_waveform; deterministic ones
+        phase init on both sides — torchaudio's default random init is
+        irreproducible across frameworks). Tolerance: GL-32 doubly
+        amplifies fp32 round-off at near-zero-magnitude bins (sign flips
+        through upd/|upd|), so parity is asserted on waveform energy, not
+        bitwise: per-hop SNR vs the golden must stay high."""
+        g = np.load(os.path.join(
+            GOLD, "pipeline_webrtc_waveform_GRUUNet2-dari_tult.npz"))
+        model, params = _load("gruunet2-dari_tult.npz", 64)
+        import dataclasses
+        cfg = dataclasses.replace(
+            self.CFG, dsp=dataclasses.replace(
+                self.CFG.dsp, griffin_lim_iters=32,
+                griffin_lim_warm_start=False))
+        step = jax.jit(make_webrtc_step(cfg, model))
+        from audio_denoising_tpu.pipeline import webrtc_init_state
+        hop, n_fft = cfg.dsp.hop_length, cfg.dsp.n_fft
+        audio = g["audio"]
+        state = webrtc_init_state(cfg, model, 1)
+        # the reference waits for a FULL window before the first model
+        # step (app2.py:185); pre-seed the ring tail with the first hop
+        # so our step j sees exactly the golden's window j
+        state = state._replace(ring=state.ring.at[:, hop:].set(
+            jnp.asarray(audio[None, :hop])))
+        n_hops = g["out_hops"].shape[0]
+        outs = []
+        for j in range(n_hops):
+            chunk = audio[(j + 1) * hop: (j + 2) * hop]
+            state, out = step(params, state, jnp.asarray(chunk[None]))
+            outs.append(np.asarray(out[0]))
+        outs = np.stack(outs)
+        ref = g["out_hops"]
+        # hop 0 is the pre-fill zeros on both sides
+        np.testing.assert_array_equal(outs[0], 0.0)
+        np.testing.assert_array_equal(ref[0], 0.0)
+        err = outs[1:] - ref[1:]
+        snr = 10 * np.log10(
+            (ref[1:] ** 2).sum() / max((err ** 2).sum(), 1e-20))
+        assert snr > 25.0, f"waveform SNR vs reference golden: {snr:.1f} dB"
+        # and the state trajectory stays locked hard
+        np.testing.assert_allclose(
+            np.asarray(state.hx), g["final_hx"].reshape(1, -1)
+            if g["final_hx"].ndim != 3 else g["final_hx"], atol=2e-3)
+
     def test_hop_step_reaches_same_state(self):
         """Driving the jitted per-hop step over the same audio must land on
         the same hidden state (ring primed so window 0 matches)."""

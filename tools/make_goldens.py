@@ -245,6 +245,101 @@ def golden_streaming_pipeline():
           final_hx=hx.numpy())
 
 
+def golden_webrtc_waveform():
+    """Waveform-level webrtc golden: the app2.py loop (app2.py:174-233)
+    ALL THE WAY to the emitted audio — inverse mel, GriffinLim-32, peak
+    de-norm, overlap-add. torch-core reimplementation of the torchaudio
+    pieces (torchaudio wheel unavailable here): GriffinLim follows
+    torchaudio.functional.griffinlim's momentum iteration exactly, with
+    ``rand_init=False`` (deterministic all-ones phase init — torchaudio's
+    default random init makes waveform goldens irreproducible; our
+    ops/griffinlim.py defaults to the same 'ones' init). InverseMelScale
+    is the relu'd pseudo-inverse (the documented parity-mode choice, see
+    ops/mel.py — torchaudio 2.6 runs an lstsq per call)."""
+    import math
+
+    ck = torch.load(os.path.join(REF, "saves", "GRUUNet2-dari_tult",
+                                 "checkpoint.pth"),
+                    map_location="cpu", weights_only=False)
+    model = ref_gruunet2.GRUUNet2(**ck["config"])
+    model.load_state_dict(ck["model_state_dict"])
+    model.eval()
+
+    n_fft, hop, n_mels, sr = 1536, 768, 64, 48000
+    n_iter, momentum = 32, 0.99
+    win = torch.hann_window(n_fft)
+    all_freqs = torch.linspace(0, sr // 2, n_fft // 2 + 1)
+    m_pts = torch.linspace(0.0, 2595.0 * math.log10(1.0 + (sr / 2.0) / 700.0),
+                           n_mels + 2)
+    f_pts = 700.0 * (10.0 ** (m_pts / 2595.0) - 1.0)
+    f_diff = f_pts[1:] - f_pts[:-1]
+    slopes = f_pts.unsqueeze(0) - all_freqs.unsqueeze(1)
+    fb = torch.clamp(torch.min(-slopes[:, :-2] / f_diff[:-1],
+                               slopes[:, 2:] / f_diff[1:]), min=0)  # (F, M)
+    fb_pinv = torch.linalg.pinv(fb.double(), rcond=1e-8).float()    # (M, F)
+
+    def griffin_lim32(mag):
+        """torchaudio.functional.griffinlim structure, rand_init=False."""
+        mom = momentum / (1 + momentum)
+        angles = torch.full_like(mag, 1.0).to(torch.complex64)
+        tprev = torch.zeros_like(angles)
+        for _ in range(n_iter):
+            inverse = torch.istft(mag * angles, n_fft, hop, window=win)
+            rebuilt = torch.stft(inverse, n_fft, hop, window=win,
+                                 center=True, pad_mode="reflect",
+                                 return_complex=True)
+            upd = rebuilt - mom * tprev
+            angles = upd / (upd.abs() + 1e-16)
+            tprev = rebuilt
+        return torch.istft(mag * angles, n_fft, hop, window=win)
+
+    rng = np.random.default_rng(11)
+    t = np.arange(sr // 2, dtype=np.float32) / sr
+    clean = 0.5 * np.sin(2 * np.pi * 350 * t).astype(np.float32)
+    noise = 0.1 * rng.standard_normal(t.shape).astype(np.float32)
+    audio = np.clip(clean + noise, -1, 1)
+
+    hx = None
+    out_buffer = np.zeros(n_fft, np.float32)       # app2.py:140 OLA buffer
+    out_hops = []
+    buf = audio.copy()
+    steps = 0
+    while len(buf) >= n_fft and steps < 6:
+        cur = buf[:n_fft]
+        peak = float(np.max(np.abs(cur)))
+        if peak > 1e-6:
+            norm = cur / peak
+        else:
+            norm, peak = cur, 1.0
+        windowed = norm * win.numpy()
+        wt = torch.from_numpy(windowed).float().unsqueeze(0)
+        spec = torch.stft(wt, n_fft, hop, window=win, center=True,
+                          pad_mode="reflect", return_complex=True)
+        mel = (spec.abs().transpose(-1, -2) @ fb).transpose(-1, -2).log1p()
+        model_in = mel.transpose(-1, -2)
+        if hx is None:
+            hx = torch.zeros(1, 17, 4)
+        with torch.no_grad():
+            resid, hx = model(model_in, hx)
+        recon = torch.nn.functional.leaky_relu(model_in - resid, 0.2)
+        mel_mag = torch.clamp(torch.expm1(recon.transpose(-1, -2)), min=0)
+        lin = torch.clamp(
+            (mel_mag.transpose(-1, -2) @ fb_pinv).transpose(-1, -2), min=0)
+        frame = griffin_lim32(lin)[0].numpy() * peak   # app2.py:220-224
+        # app2.py:226-231: emit buf[:hop] FIRST, then shift and accumulate
+        out_hops.append(out_buffer[:hop].copy())
+        out_buffer = np.concatenate(
+            [out_buffer[hop:], np.zeros(hop, np.float32)])
+        out_buffer[:len(frame)] += frame
+        buf = buf[hop:]
+        steps += 1
+
+    _save("pipeline_webrtc_waveform_GRUUNet2-dari_tult",
+          audio=audio[: n_fft + hop * (steps - 1) + hop],
+          out_hops=np.stack(out_hops),
+          final_hx=hx.numpy())
+
+
 def golden_server_pipeline():
     """Socket-path golden (server.py:200-216): 1024/512 transforms, noisy
     phase reuse, relu*3 gain, hx decay 0.9, on GRUUNet2-good weights."""
@@ -298,8 +393,13 @@ def golden_server_pipeline():
 
 
 if __name__ == "__main__":
-    golden_checkpointed_recurrent()
-    golden_random_weight_models()
-    golden_streaming_pipeline()
-    golden_server_pipeline()
+    if len(sys.argv) > 1:       # regenerate selected goldens only
+        for name in sys.argv[1:]:
+            globals()[f"golden_{name}"]()
+    else:
+        golden_checkpointed_recurrent()
+        golden_random_weight_models()
+        golden_streaming_pipeline()
+        golden_webrtc_waveform()
+        golden_server_pipeline()
     print("done")

@@ -185,7 +185,8 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=6102)
     p.add_argument("--max-streams", type=int, default=256)
     p.add_argument("--mode",
-                   choices=["fast", "webrtc", "fused", "fused-webrtc"],
+                   choices=["fast", "webrtc", "fused", "fused-webrtc",
+                            "unet"],
                    default="fast")
     p.add_argument("--tick-ms", type=float, default=1.0)
     p.add_argument("--multichip", action="store_true",

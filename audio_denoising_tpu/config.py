@@ -132,6 +132,15 @@ class ServingConfig:
     state_decay: float = 1.0          # server.py:214 uses hx *= 0.9
     output_gain: float = 1.0          # server.py:213 uses x3
     passthrough_on_underrun: bool = True
+    # Cadence-locked segment streaming for the stateless U-Nets (engine
+    # mode 'unet'): the per-hop tick buffers ``unet_seg_hops`` hops, then
+    # runs the full U-Net once over [ctx | seg | ctx] samples and emits the
+    # middle seg over the next cycle (the reference never streams unet4 —
+    # unet4.py:147-194 is offline-only — so these semantics are ours).
+    # Latency = seg + 2*ctx samples; ctx covers the iSTFT edge taper and
+    # gives the conv stack real left/right context at segment joins.
+    unet_seg_hops: int = 16
+    unet_ctx_samples: int = 960
 
 
 @dataclass(frozen=True)

@@ -137,6 +137,67 @@ def offline_denoise_stateless(cfg: Config, model, params,
     return out[0] if squeeze else out
 
 
+class UNetStreamState(NamedTuple):
+    """Per-slot state for cadence-locked U-Net segment streaming."""
+    ring: jnp.ndarray   # (B, ctx + seg + ctx) input sample history
+    out: jnp.ndarray    # (B, seg) pending output segment
+
+
+def _unet_stream_geometry(cfg: Config) -> Tuple[int, int, int, int]:
+    hop = cfg.dsp.hop_length
+    seg_hops = cfg.serving.unet_seg_hops
+    return hop, seg_hops, seg_hops * hop, cfg.serving.unet_ctx_samples
+
+
+def unet_stream_init_state(cfg: Config, model, batch: int,
+                           dtype=jnp.float32) -> UNetStreamState:
+    hop, _p, seg, ctx = _unet_stream_geometry(cfg)
+    return UNetStreamState(
+        ring=jnp.zeros((batch, ctx + seg + ctx), dtype),
+        out=jnp.zeros((batch, seg), dtype))
+
+
+def make_unet_stream_step(cfg: Config, model):
+    """Streaming step for the stateless 2D U-Nets (unet4 family).
+
+    ``step(params, state, chunk[B, hop], phase[] int32) -> (state, out[B, hop])``
+
+    The reference only runs these models offline (unet4.py:147-194 consumes
+    a whole (freq, time) image); streaming semantics are therefore ours:
+    cadence-locked block processing. Every tick shifts one hop into a
+    ``[ctx | seg | ctx]`` sample ring; on the cycle-closing tick
+    (``phase == seg_hops-1``) the full offline graph
+    (:func:`offline_denoise_stateless`) runs ONCE over the ring and the
+    middle ``seg`` samples become the next cycle's output buffer, which the
+    following ``seg_hops`` ticks drain hop by hop. Consecutive emitted
+    segments are contiguous in sample time (the ring advances exactly
+    ``seg`` per cycle); the flanking ``ctx`` samples give the conv stack
+    real context at joins and absorb the iSTFT edge taper. End-to-end
+    latency is ``seg + 2*ctx`` samples. The heavy branch sits under
+    ``lax.cond`` so non-boundary ticks cost only the ring shift.
+    """
+    hop, seg_hops, seg, ctx = _unet_stream_geometry(cfg)
+
+    def denoise_window(params, ring):
+        den = offline_denoise_stateless(cfg, model, params, ring)
+        return jax.lax.dynamic_slice_in_dim(den, ctx, seg, axis=1)
+
+    def step(params, state: UNetStreamState, chunk: jnp.ndarray,
+             phase: jnp.ndarray):
+        ring = jnp.concatenate([state.ring[:, hop:], chunk], axis=-1)
+        # emit from the PREVIOUS cycle's buffer before (possibly) refilling
+        out_hop = jax.lax.dynamic_slice_in_dim(state.out, phase * hop, hop,
+                                               axis=1)
+        new_out = jax.lax.cond(
+            phase == seg_hops - 1,
+            lambda r: denoise_window(params, r),
+            lambda r: state.out,
+            ring)
+        return UNetStreamState(ring=ring, out=new_out), out_hop
+
+    return step
+
+
 def jit_offline_denoiser(cfg: Config, model):
     """Returns a jitted ``fn(params, audio) -> audio``; retraces only per
     distinct audio length (pad/bucket upstream for serving)."""

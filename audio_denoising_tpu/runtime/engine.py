@@ -9,6 +9,11 @@ Modes:
                one hop out, one jitted launch for all N streams.
 - ``webrtc`` — bit-faithful app2.py semantics (3-frame centered STFT +
                Griffin-Lim, pipeline.make_webrtc_step).
+- ``fused-webrtc`` / ``fused`` — one-kernel Pallas hops (webrtc incl.
+               in-kernel warm Griffin-Lim; fast-path GRUUNet/MOMO).
+- ``unet``   — cadence-locked segment streaming for the stateless 2D
+               U-Nets (pipeline.make_unet_stream_step; the reference has
+               no streaming path for these, unet4.py:147-194).
 
 State is a batched pytree; slots are admitted/evicted by index updates, and
 inactive slots simply compute on zeros (fixed shapes, no retracing).
@@ -173,6 +178,16 @@ class StreamEngine:
             step = lambda params, state, chunk: hop_step(state, chunk)
             self.state = webrtc_hop_init_state(cfg, plan, self.n)
             self._zero_one = webrtc_hop_init_state(cfg, plan, 1)
+        elif mode == "unet":
+            # cadence-locked segment streaming for the stateless U-Nets:
+            # the heavy U-Net runs once per unet_seg_hops ticks under
+            # lax.cond; between boundaries ticks only shift the sample ring
+            # and drain the output buffer (pipeline.make_unet_stream_step).
+            from audio_denoising_tpu.pipeline import (
+                make_unet_stream_step, unet_stream_init_state)
+            step = make_unet_stream_step(cfg, model)
+            self.state = unet_stream_init_state(cfg, model, self.n)
+            self._zero_one = unet_stream_init_state(cfg, model, 1)
         elif mode == "fused":
             # one-kernel Pallas hop (GRUUNet + MOMO families); params baked
             # in. pallas_call is not auto-partitionable, so with a mesh the
@@ -196,6 +211,20 @@ class StreamEngine:
         else:
             raise ValueError(f"unknown engine mode {mode!r}")
 
+        # internal step signature is normalized to
+        # step4(params, state, chunk, phase): only 'unet' consumes the
+        # phase scalar (segment cycle position); other modes ignore it.
+        self._cadence_locked = mode == "unet"
+        if self._cadence_locked:
+            step4 = step
+            self._seg_hops = cfg.serving.unet_seg_hops
+        else:
+            step4 = lambda params, state, chunk, phase: step(params, state,
+                                                             chunk)
+            self._seg_hops = 1
+        self._phase = 0
+        self._phase_consts = [jnp.int32(i) for i in range(self._seg_hops)]
+
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             repl = NamedSharding(mesh, P())
@@ -203,22 +232,22 @@ class StreamEngine:
             state_sh = jax.tree.map(lambda _: shard, self.state)
             params_sh = jax.tree.map(lambda _: repl, params)
             self._step = jax.jit(
-                step,
-                in_shardings=(params_sh, state_sh, shard),
+                step4,
+                in_shardings=(params_sh, state_sh, shard, repl),
                 out_shardings=(state_sh, shard),
                 donate_argnums=(1,))
             self.params = jax.device_put(params, repl)
             self.state = jax.device_put(self.state, shard)
             self._zero_one = jax.device_put(self._zero_one, repl)
         else:
-            self._step = jax.jit(step, donate_argnums=(1,)) if jit else step
+            self._step = jax.jit(step4, donate_argnums=(1,)) if jit else step4
         self._reset_slot = jax.jit(self._reset_slot_impl, donate_argnums=(0,))
 
-        def masked_step(params, state, batch, mask):
+        def masked_step(params, state, batch, mask, phase):
             # advance all slots, but COMMIT state only where a chunk
             # actually arrived (mask) — a stream's recurrence must not be
             # mutated by the zero inputs of other streams' ticks.
-            new_state, out = step(params, state, batch)
+            new_state, out = step4(params, state, batch, phase)
             committed = jax.tree.map(
                 lambda new, old: jnp.where(
                     mask.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
@@ -233,7 +262,7 @@ class StreamEngine:
             self._masked_step = jax.jit(
                 masked_step,
                 in_shardings=(jax.tree.map(lambda _: repl1, params),
-                              state_sh1, shard1, shard1),
+                              state_sh1, shard1, shard1, repl1),
                 out_shardings=(state_sh1, shard1))
         else:
             self._masked_step = jax.jit(masked_step) if jit else masked_step
@@ -273,16 +302,29 @@ class StreamEngine:
         other slots' state is masked back to its previous value — a stream
         must advance only when its audio arrives, or its recurrent state
         would be corrupted by zero-input steps whenever the tick scheduler
-        batches other streams without it."""
+        batches other streams without it.
+
+        'unet' mode is CADENCE-LOCKED instead: segment boundaries are a
+        property of the engine tick, not of any one stream, so every slot
+        advances every tick and an active stream that misses a tick gets
+        zero samples spliced into its segment (the same degrade-to-zeros
+        underrun semantics real-time systems use; per-slot pausing would
+        need a per-slot U-Net dispatch)."""
         batch = np.zeros((self.n, self.hop), np.float32)
         mask = np.zeros((self.n,), np.bool_)
         for sid, chunk in chunks.items():
             slot = self.slots[sid]
             batch[slot] = chunk
             mask[slot] = True
-        self.state, out = self._masked_step(self.params, self.state,
-                                            jnp.asarray(batch),
-                                            jnp.asarray(mask))
+        if self._cadence_locked:
+            self.state, out = self._step(self.params, self.state,
+                                         jnp.asarray(batch),
+                                         self._next_phase())
+        else:
+            self.state, out = self._masked_step(self.params, self.state,
+                                                jnp.asarray(batch),
+                                                jnp.asarray(mask),
+                                                self._phase_consts[0])
         out = np.asarray(out)
         return {sid: out[self.slots[sid]] for sid in chunks}
 
@@ -300,15 +342,28 @@ class StreamEngine:
             batch[slot] = chunk
             mask[slot] = True
             slot_map[sid] = slot
-        self.state, out = self._masked_step(self.params, self.state,
-                                            jnp.asarray(batch),
-                                            jnp.asarray(mask))
+        if self._cadence_locked:
+            self.state, out = self._step(self.params, self.state,
+                                         jnp.asarray(batch),
+                                         self._next_phase())
+        else:
+            self.state, out = self._masked_step(self.params, self.state,
+                                                jnp.asarray(batch),
+                                                jnp.asarray(mask),
+                                                self._phase_consts[0])
         return out, slot_map
+
+    def _next_phase(self) -> jnp.ndarray:
+        """Consume and advance the segment-cycle phase (unet mode)."""
+        const = self._phase_consts[self._phase]
+        self._phase = (self._phase + 1) % self._seg_hops
+        return const
 
     def process_batch(self, batch: jnp.ndarray) -> jnp.ndarray:
         """Raw fixed-shape path for benchmarking/serving fabrics:
         (N, hop) in -> (N, hop) out."""
-        self.state, out = self._step(self.params, self.state, batch)
+        self.state, out = self._step(self.params, self.state, batch,
+                                     self._next_phase())
         return out
 
     # -- failure recovery (SURVEY §5: snapshot/restore of stream state) -----
@@ -321,6 +376,7 @@ class StreamEngine:
             "slots": dict(self.slots),
             "free": list(self._free),
             "mode": self.mode,
+            "phase": self._phase,
         }
 
     def restore(self, snap: Dict) -> None:
@@ -342,3 +398,4 @@ class StreamEngine:
         self.state = state
         self.slots = dict(snap["slots"])
         self._free = list(snap["free"])
+        self._phase = int(snap.get("phase", 0)) % self._seg_hops

@@ -135,7 +135,20 @@ class BatchingTick:
                         if out is not None:
                             # pipeline: dispatch now, materialize on a
                             # LATER tick — overlaps host batching and the
-                            # device round trip (keep <=2 in flight)
+                            # device round trip (keep <=2 in flight).
+                            # Start the d2h copy immediately so _deliver's
+                            # np.asarray finds the bytes already en route
+                            # instead of serializing the tick thread on a
+                            # cold synchronous transfer (the d2h, not the
+                            # compute, floors the materialized rate on
+                            # relay-attached chips — docs/BENCHMARKS.md).
+                            start_copy = getattr(out, "copy_to_host_async",
+                                                 None)
+                            if start_copy is not None:
+                                try:
+                                    start_copy()
+                                except Exception:
+                                    pass   # fall back to sync np.asarray
                             self._inflight.append(
                                 (out, slot_map, sinks, errs))
                             while len(self._inflight) >= self.depth:

@@ -121,6 +121,22 @@ def main() -> None:
     np.asarray(out)
     host_ms = (time.perf_counter() - t0) * 1e3 / K
 
+    # Double-buffered delivery (the BatchingTick pipeline): round N's d2h
+    # copy is started async and drained while round N+1 computes, so the
+    # host sees max(compute, transfer) per round instead of their sum.
+    rounds = 6
+    t0 = time.perf_counter()
+    prev = None
+    for _ in range(rounds):
+        _state, out = run()
+        if hasattr(out, "copy_to_host_async"):
+            out.copy_to_host_async()
+        if prev is not None:
+            np.asarray(prev)
+        prev = out
+    np.asarray(prev)
+    host_pipe_ms = (time.perf_counter() - t0) * 1e3 / (rounds * K)
+
     p50 = float(np.percentile(times, 50))
     p99 = float(np.percentile(times, 99))
     audio_ms = N_STREAMS * HOP_MS
@@ -131,6 +147,7 @@ def main() -> None:
           f"p99={p99:.3f}ms aggregate={realtime_x:.0f}x realtime "
           f"({p50 / N_STREAMS * 1e3:.1f}us/stream); "
           f"with-host-materialization={host_ms:.3f}ms/hop "
+          f"pipelined-materialization={host_pipe_ms:.3f}ms/hop "
           f"(dominated by the chip attachment's d2h on relayed setups)",
           file=sys.stderr)
 
@@ -175,6 +192,29 @@ def _bench_variants(cfg, model, params, chunks, K, hop):
     s0 = fused_hop_init_state(cfg, plan, N_STREAMS)
     print(f"variant=fused_hop_bf16 p50={measure(b16, s0, chunks):.3f}ms",
           file=sys.stderr)
+
+    # int16 PCM boundary + pipelined d2h: halves the materialized bytes
+    # per hop (the relay's d2h bandwidth is the with-host floor).
+    i16 = jax.jit(make_fused_hop(cfg, plan, hops_per_call=K,
+                                 io_dtype=jnp.int16))
+    chunks16 = jnp.clip(chunks * 32767.0, -32768, 32767).astype(jnp.int16)
+    for _ in range(2):
+        _s, out = i16(s0, chunks16)
+    jax.block_until_ready(out)
+    rounds = 6
+    t0 = time.perf_counter()
+    prev = None
+    for _ in range(rounds):
+        _s, out = i16(s0, chunks16)
+        if hasattr(out, "copy_to_host_async"):
+            out.copy_to_host_async()
+        if prev is not None:
+            np.asarray(prev)
+        prev = out
+    np.asarray(prev)
+    i16_ms = (time.perf_counter() - t0) * 1e3 / (rounds * K)
+    print(f"variant=fused_hop_int16_pipelined_d2h "
+          f"materialized={i16_ms:.3f}ms/hop", file=sys.stderr)
 
     try:
         from audio_denoising_tpu.hub import load_pretrained

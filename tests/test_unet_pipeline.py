@@ -1,5 +1,7 @@
 """Stateless U-Net offline pipeline (BASELINE config 3: unet4 on the same
-STFT front-end, no recurrence)."""
+STFT front-end, no recurrence) and its cadence-locked streaming mode."""
+
+import dataclasses
 
 import numpy as np
 import pytest
@@ -9,6 +11,7 @@ import jax.numpy as jnp
 from audio_denoising_tpu.config import PRESETS
 from audio_denoising_tpu.models import build_model
 from audio_denoising_tpu.pipeline import offline_denoise_stateless
+from audio_denoising_tpu.runtime.engine import StreamEngine
 
 
 @pytest.fixture(scope="module")
@@ -69,3 +72,129 @@ class TestOfflineStateless:
         a, b = 2000, 22000
         np.testing.assert_allclose(np.asarray(out[a:b]),
                                    np.asarray(audio[a:b]), atol=5e-3)
+
+
+# --------------------------------------------------------------------------
+# Cadence-locked streaming (engine mode 'unet')
+# --------------------------------------------------------------------------
+
+def _stream_cfg(cfg, seg_hops=4, ctx=480, max_streams=4):
+    return dataclasses.replace(
+        cfg, serving=dataclasses.replace(
+            cfg.serving, unet_seg_hops=seg_hops, unet_ctx_samples=ctx,
+            max_streams=max_streams))
+
+
+class _ZeroUNet:
+    """Zero-residual stand-in: streaming reduces to a pure STFT round trip."""
+    bins = 241
+
+    def compatible_frames(self, t, max_extra=512):
+        return t
+
+    def apply(self, params, x):
+        return jnp.zeros_like(x)
+
+
+class TestUNetStreaming:
+    def test_window_equivalence(self, unet, rng):
+        """The engine's streamed output IS offline_denoise_stateless applied
+        per [ctx|seg|ctx] window: each cycle's emitted seg equals the middle
+        slice of the offline graph run on that cycle-closing ring."""
+        cfg, model, params = unet
+        cfg = _stream_cfg(cfg)
+        hop = cfg.dsp.hop_length
+        P = cfg.serving.unet_seg_hops
+        seg, ctx = P * hop, cfg.serving.unet_ctx_samples
+        R = ctx + seg + ctx
+
+        eng = StreamEngine(cfg, model, params, mode="unet", max_streams=2)
+        eng.add_stream("a")
+
+        n_cycles = 3
+        audio = 0.1 * rng.standard_normal(n_cycles * seg).astype(np.float32)
+        history = np.zeros(R, np.float32)
+        outs = []
+        for t in range(n_cycles * P):
+            chunk = audio[t * hop:(t + 1) * hop]
+            outs.append(eng.process({"a": chunk})["a"])
+            history = np.concatenate([history[hop:], chunk])
+            if t % P == P - 1 and t // P < n_cycles - 1:
+                expect = offline_denoise_stateless(
+                    cfg, model, params, jnp.asarray(history[None]))
+                expect = np.asarray(expect)[0, ctx:ctx + seg]
+                got = np.concatenate(
+                    [eng.process({"a": audio[s * hop:(s + 1) * hop]})["a"]
+                     for s in range(t + 1, t + 1 + P)])
+                # engine jit vs direct call fuse differently — fp32
+                # reassociation through 12 conv levels; bound the error
+                # relative to the signal scale
+                np.testing.assert_allclose(
+                    got, expect, rtol=0,
+                    atol=5e-5 * np.abs(expect).max())
+                # those P ticks consumed input; resync the python history
+                for s in range(t + 1, t + 1 + P):
+                    history = np.concatenate(
+                        [history[hop:], audio[s * hop:(s + 1) * hop]])
+                break
+
+    def test_zero_model_delay_is_identity(self, rng):
+        """With a zero residual the stream is the input delayed by exactly
+        seg + ctx samples (the documented streaming latency), up to the
+        STFT round-trip edge taper absorbed by ctx."""
+        cfg = _stream_cfg(PRESETS["unet4-raw480"], seg_hops=4, ctx=960)
+        hop = cfg.dsp.hop_length
+        P = cfg.serving.unet_seg_hops
+        seg, ctx = P * hop, cfg.serving.unet_ctx_samples
+        delay = seg + ctx
+
+        eng = StreamEngine(cfg, _ZeroUNet(), None, mode="unet",
+                           max_streams=2)
+        eng.add_stream("a")
+        n_ticks = 6 * P
+        t_ax = np.arange(n_ticks * hop, dtype=np.float32)
+        audio = (0.2 * np.sin(2 * np.pi * 440 * t_ax / 48000)
+                 + 0.02 * rng.standard_normal(n_ticks * hop)
+                 ).astype(np.float32)
+        out = np.concatenate(
+            [eng.process({"a": audio[t * hop:(t + 1) * hop]})["a"]
+             for t in range(n_ticks)])
+        # compare a region far enough in that warm-up zeros are flushed
+        a = delay + 2 * seg
+        b = n_ticks * hop - seg
+        np.testing.assert_allclose(out[a:b], audio[a - delay:b - delay],
+                                   atol=5e-3)
+
+    def test_admission_and_snapshot(self, rng):
+        """Slots admit/evict mid-cycle; snapshot/restore (incl. the cycle
+        phase) reproduces the byte-exact output stream."""
+        cfg = _stream_cfg(PRESETS["unet4-raw480"], seg_hops=4, ctx=480)
+        hop = cfg.dsp.hop_length
+        P = cfg.serving.unet_seg_hops
+
+        eng = StreamEngine(cfg, _ZeroUNet(), None, mode="unet",
+                           max_streams=2)
+        eng.add_stream("a")
+        chunks = [0.1 * rng.standard_normal(hop).astype(np.float32)
+                  for _ in range(4 * P)]
+        for c in chunks[:P + 1]:        # stop mid-cycle (phase = 1)
+            eng.process({"a": c})
+        eng.add_stream("b")             # admission mid-cycle
+        snap = eng.snapshot()
+        assert snap["phase"] == (P + 1) % P
+
+        tail_a, tail_b = [], []
+        for c in chunks[P + 1:]:
+            o = eng.process({"a": c, "b": c[::-1].copy()})
+            tail_a.append(o["a"])
+            tail_b.append(o["b"])
+
+        fresh = StreamEngine(cfg, _ZeroUNet(), None, mode="unet",
+                             max_streams=2)
+        fresh.restore(snap)
+        for i, c in enumerate(chunks[P + 1:]):
+            o = fresh.process({"a": c, "b": c[::-1].copy()})
+            np.testing.assert_array_equal(o["a"], tail_a[i])
+            np.testing.assert_array_equal(o["b"], tail_b[i])
+        fresh.remove_stream("a")
+        assert fresh.active_streams == 1

@@ -1,9 +1,11 @@
 """Host-side audio I/O (the L1 layer): decode, cache, chunk, mix.
 
 The reference decodes any container through PyAV/FFmpeg (utils.py:178-199).
-This environment has no FFmpeg, so the native WAV codec (stdlib-based, with
-an optional C++ fast path) covers the shipped corpora; other containers are
-gated behind an ffmpeg-binary subprocess decoder when one is present.
+Here: the native WAV codec (stdlib-based, with an optional C++ fast path)
+covers the shipped WAV corpora; mp3 and webm/opus decode through the
+system codec libraries via ctypes (io/codec.py — libmpg123 and a pure-
+Python Matroska demux + libopus), with an ffmpeg-binary subprocess as a
+last-resort fallback for anything else. All paths are capability-gated.
 """
 
 from audio_denoising_tpu.io.wavio import read_wav, write_wav, pcm_to_float32, float32_to_pcm16
@@ -12,11 +14,17 @@ from audio_denoising_tpu.io.stream import (
     buffer_stream, limit_stream, combine_audio, clip_audio_to_same_size,
     stream_audio,
 )
+from audio_denoising_tpu.io.codec import (
+    codec_available, mp3_available, opus_available, probe_mp3_rate,
+    read_audio_codec, read_mp3, read_webm_opus,
+)
 from audio_denoising_tpu.io.ffmpeg import ffmpeg_available, read_audio_ffmpeg
 
 __all__ = [
     "read_wav", "write_wav", "pcm_to_float32", "float32_to_pcm16",
     "AudioCache", "buffer_stream", "limit_stream", "combine_audio",
     "clip_audio_to_same_size", "stream_audio",
+    "codec_available", "mp3_available", "opus_available", "probe_mp3_rate",
+    "read_audio_codec", "read_mp3", "read_webm_opus",
     "ffmpeg_available", "read_audio_ffmpeg",
 ]

@@ -12,6 +12,8 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from audio_denoising_tpu.io.wavio import read_wav
+from audio_denoising_tpu.io.codec import (codec_available, probe_mp3_rate,
+                                          read_audio_codec)
 from audio_denoising_tpu.io.ffmpeg import ffmpeg_available, read_audio_ffmpeg
 
 
@@ -30,11 +32,16 @@ class AudioCache:
         if key not in self._entries:
             if path.lower().endswith(".wav"):
                 self._entries[key] = read_wav(path)
+            elif codec_available(path):
+                # system codec libs (io/codec.py): mp3 via libmpg123,
+                # webm/opus via the pure-Python demux + libopus
+                self._entries[key] = read_audio_codec(path)
             elif ffmpeg_available():
                 self._entries[key] = read_audio_ffmpeg(path)
             else:
-                raise RuntimeError(f"cannot decode {path!r}: WAV-only "
-                                   "environment (no ffmpeg)")
+                raise RuntimeError(
+                    f"cannot decode {path!r}: no codec library for this "
+                    "container and no ffmpeg binary (WAV always works)")
         return self._entries[key]
 
     def random_crop(self, path: str, crop_samples: int) -> Tuple[np.ndarray, int]:
@@ -54,11 +61,16 @@ class AudioCache:
 
     @staticmethod
     def probe_rate(path: str) -> int:
-        """Sample rate without decoding (WAV header read)."""
-        if path.lower().endswith(".wav"):
+        """Sample rate without decoding (header-only)."""
+        low = path.lower()
+        if low.endswith(".wav"):
             import wave
             with wave.open(path, "rb") as w:
                 return w.getframerate()
+        if low.endswith((".mp3", ".mp2", ".mpga")):
+            return probe_mp3_rate(path)
+        if low.endswith((".webm", ".mkv", ".weba")):
+            return 48000       # Opus always reconstructs at 48 kHz
         return AudioCache().load(path)[1]
 
     def random_crop_from(self, paths: List[str], crop_samples: int,

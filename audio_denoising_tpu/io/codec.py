@@ -1,0 +1,409 @@
+"""Compressed-audio decode via the system codec libraries (ctypes).
+
+The reference decodes every non-WAV container through PyAV — FFmpeg's C
+libraries — returning float32 samples at the file's native rate with
+int->float scaling (utils.py:179-198). PyAV does not ship in this
+environment, but the underlying codec .so files do, so this module binds
+them directly:
+
+- **MP3** (``data/sine_sweep.mp3``, ``data/countdown/cd20_cleaned.mp3``):
+  ``libmpg123`` — decode at native rate straight to float32.
+- **WebM/Opus** (the ``kaggle_audioNoiseDataset`` noise corpus the
+  reference trains against): a pure-Python Matroska/EBML demuxer feeding
+  ``libopus`` packet by packet (Opus always reconstructs at 48 kHz).
+
+Both paths are capability-gated (`mp3_available()` / `opus_available()`)
+so WAV-only environments degrade exactly like the ffmpeg-subprocess
+fallback (io/ffmpeg.py) instead of crashing at import.
+"""
+
+import ctypes
+import ctypes.util
+import os
+import struct
+from functools import lru_cache
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@lru_cache(maxsize=None)
+def _load(*names: str):
+    for name in names:
+        try:
+            return ctypes.CDLL(name)
+        except OSError:
+            continue
+    found = ctypes.util.find_library(names[0].split(".")[0].lstrip("lib"))
+    if found:
+        try:
+            return ctypes.CDLL(found)
+        except OSError:
+            pass
+    return None
+
+
+# --------------------------------------------------------------------------
+# MP3 via libmpg123
+# --------------------------------------------------------------------------
+
+_MPG123_OK = 0
+_MPG123_DONE = -12
+_MPG123_NEW_FORMAT = -11
+_MPG123_ENC_FLOAT_32 = 0x200
+_MPG123_ADD_FLAGS = 2
+_MPG123_FORCE_FLOAT = 0x400
+
+
+def _mpg123():
+    lib = _load("libmpg123.so.0", "libmpg123.so")
+    if lib is None:
+        return None
+    lib.mpg123_new.restype = ctypes.c_void_p
+    lib.mpg123_new.argtypes = [ctypes.c_char_p,
+                               ctypes.POINTER(ctypes.c_int)]
+    lib.mpg123_open.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.mpg123_getformat.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.mpg123_param.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.c_long, ctypes.c_double]
+    lib.mpg123_format_none.argtypes = [ctypes.c_void_p]
+    lib.mpg123_format.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                  ctypes.c_int, ctypes.c_int]
+    lib.mpg123_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_size_t,
+                                ctypes.POINTER(ctypes.c_size_t)]
+    lib.mpg123_close.argtypes = [ctypes.c_void_p]
+    lib.mpg123_delete.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def mp3_available() -> bool:
+    return _mpg123() is not None
+
+
+def read_mp3(path: str) -> Tuple[np.ndarray, int]:
+    """Decode an MPEG audio file -> (samples (C, N) float32, native rate).
+
+    Mirrors the reference's read_audio contract (utils.py:179-198): native
+    sample rate, float samples, channel-major layout.
+    """
+    lib = _mpg123()
+    if lib is None:
+        raise RuntimeError("libmpg123 not found: MP3 decode unavailable")
+    lib.mpg123_init()            # no-op on modern mpg123, required on old
+    err = ctypes.c_int(0)
+    h = lib.mpg123_new(None, ctypes.byref(err))
+    if not h:
+        raise RuntimeError(f"mpg123_new failed ({err.value})")
+    try:
+        # force float32 output before open: the post-open format_none/
+        # format pin alone does not retarget an already-negotiated int16
+        # decode on this libmpg123 build
+        lib.mpg123_param(h, _MPG123_ADD_FLAGS, _MPG123_FORCE_FLOAT, 0.0)
+        if lib.mpg123_open(h, os.fsencode(path)) != _MPG123_OK:
+            raise RuntimeError(f"mpg123 cannot open {path!r}")
+        rate = ctypes.c_long(0)
+        channels = ctypes.c_int(0)
+        enc = ctypes.c_int(0)
+        if lib.mpg123_getformat(h, ctypes.byref(rate),
+                                ctypes.byref(channels),
+                                ctypes.byref(enc)) != _MPG123_OK:
+            raise RuntimeError(f"mpg123 cannot read format of {path!r}")
+        # pin the output format to float32 at the native rate/channels
+        lib.mpg123_format_none(h)
+        lib.mpg123_format(h, rate.value, channels.value,
+                          _MPG123_ENC_FLOAT_32)
+        buf = (ctypes.c_char * (1 << 16))()
+        done = ctypes.c_size_t(0)
+        chunks: List[bytes] = []
+        while True:
+            rc = lib.mpg123_read(h, buf, len(buf), ctypes.byref(done))
+            if done.value:
+                chunks.append(bytes(buf[:done.value]))
+            if rc == _MPG123_DONE:
+                break
+            if rc == _MPG123_NEW_FORMAT:
+                lib.mpg123_getformat(h, ctypes.byref(rate),
+                                     ctypes.byref(channels),
+                                     ctypes.byref(enc))
+                continue
+            if rc != _MPG123_OK:
+                raise RuntimeError(f"mpg123_read failed ({rc}) on {path!r}")
+        lib.mpg123_close(h)
+    finally:
+        lib.mpg123_delete(h)
+    data = np.frombuffer(b"".join(chunks), dtype=np.float32)
+    ch = max(1, channels.value)
+    data = data[: (len(data) // ch) * ch].reshape(-1, ch).T
+    return np.ascontiguousarray(data), int(rate.value)
+
+
+def probe_mp3_rate(path: str) -> int:
+    """Sample rate from the first MPEG frame header (no decode).
+
+    Parses the 4-byte frame sync after skipping any ID3v2 tag — the
+    header-only analog of AudioCache.probe_rate's WAV branch.
+    """
+    rates = {  # (version bits) -> table; MPEG1=3, MPEG2=2, MPEG2.5=0
+        3: (44100, 48000, 32000),
+        2: (22050, 24000, 16000),
+        0: (11025, 12000, 8000),
+    }
+    with open(path, "rb") as f:
+        head = f.read(10)
+        if head[:3] == b"ID3":
+            size = ((head[6] & 0x7F) << 21 | (head[7] & 0x7F) << 14
+                    | (head[8] & 0x7F) << 7 | (head[9] & 0x7F))
+            f.seek(10 + size)
+        data = f.read(1 << 16)
+    for i in range(len(data) - 3):
+        b0, b1, b2 = data[i], data[i + 1], data[i + 2]
+        if b0 == 0xFF and (b1 & 0xE0) == 0xE0:
+            version = (b1 >> 3) & 0x3
+            layer = (b1 >> 1) & 0x3
+            sr_idx = (b2 >> 2) & 0x3
+            if version == 1 or layer == 0 or sr_idx == 3:
+                continue
+            return rates[version][sr_idx]
+    raise ValueError(f"no MPEG frame header found in {path!r}")
+
+
+# --------------------------------------------------------------------------
+# WebM/Opus: pure-Python Matroska demux + libopus
+# --------------------------------------------------------------------------
+
+def _opus():
+    lib = _load("libopus.so.0", "libopus.so")
+    if lib is None:
+        return None
+    lib.opus_decoder_create.restype = ctypes.c_void_p
+    lib.opus_decoder_create.argtypes = [ctypes.c_int, ctypes.c_int,
+                                        ctypes.POINTER(ctypes.c_int)]
+    lib.opus_decode_float.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int]
+    lib.opus_decoder_destroy.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def opus_available() -> bool:
+    return _opus() is not None
+
+
+# Matroska element IDs (https://www.matroska.org/technical/elements.html)
+_SEGMENT = 0x18538067
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_TRACK_NUMBER = 0xD7
+_CODEC_ID = 0x86
+_CODEC_PRIVATE = 0x63A2
+_AUDIO = 0xE1
+_SAMPLING_FREQ = 0xB5
+_CHANNELS = 0x9F
+_CLUSTER = 0x1F43B675
+_SIMPLE_BLOCK = 0xA3
+_BLOCK_GROUP = 0xA0
+_BLOCK = 0xA1
+_UNKNOWN_SIZE = object()
+
+
+def _read_vint(data: bytes, pos: int,
+               keep_marker: bool) -> Tuple[int, int]:
+    """EBML variable-length integer at data[pos]; returns (value, new_pos).
+
+    IDs keep the length-marker bit (keep_marker=True); sizes strip it. A
+    size with all value bits set means 'unknown' (streamed segment)."""
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML vint")
+    length = 8 - first.bit_length() + 1
+    raw = data[pos:pos + length]
+    if len(raw) < length:
+        raise ValueError("truncated EBML vint")
+    value = int.from_bytes(raw, "big")
+    if not keep_marker:
+        value &= (1 << (7 * length)) - 1
+        if value == (1 << (7 * length)) - 1:
+            return _UNKNOWN_SIZE, pos + length  # type: ignore[return-value]
+    return value, pos + length
+
+
+def _walk(data: bytes, pos: int, end: int):
+    """Yield (element_id, payload_start, payload_end) at one EBML level."""
+    while pos < end:
+        eid, pos = _read_vint(data, pos, keep_marker=True)
+        size, pos = _read_vint(data, pos, keep_marker=False)
+        pend = end if size is _UNKNOWN_SIZE else min(end, pos + size)
+        yield eid, pos, pend
+        pos = pend
+
+
+def _lace_sizes(data: bytes, pos: int, end: int) -> Tuple[List[int], int]:
+    """Decode Matroska block lacing; returns (frame sizes, payload pos)."""
+    flags = data[pos]
+    pos += 1
+    lacing = (flags >> 1) & 0x3
+    if lacing == 0:
+        return [end - pos], pos
+    count = data[pos] + 1
+    pos += 1
+    sizes: List[int] = []
+    if lacing == 2:                      # fixed-size lacing
+        each = (end - pos) // count
+        sizes = [each] * count
+    elif lacing == 1:                    # Xiph lacing
+        for _ in range(count - 1):
+            s = 0
+            while True:
+                b = data[pos]
+                pos += 1
+                s += b
+                if b != 255:
+                    break
+            sizes.append(s)
+        sizes.append(end - pos - sum(sizes))
+    else:                                # EBML lacing
+        first, pos = _read_vint(data, pos, keep_marker=False)
+        sizes.append(first)
+        prev = first
+        for _ in range(count - 2):
+            raw_start = pos
+            delta, pos = _read_vint(data, pos, keep_marker=False)
+            length = pos - raw_start
+            delta -= (1 << (7 * length - 1)) - 1   # signed vint bias
+            prev += delta
+            sizes.append(prev)
+        sizes.append(end - pos - sum(sizes))
+    return sizes, pos
+
+
+def _demux_webm_opus(data: bytes) -> Tuple[List[bytes], int, int, float]:
+    """-> (opus packets, channels, preskip samples, output gain factor)."""
+    track_no: Optional[int] = None
+    channels = 2
+    preskip = 0
+    gain = 1.0
+    packets: List[bytes] = []
+
+    def scan_tracks(pos: int, end: int):
+        nonlocal track_no, channels, preskip, gain
+        for eid, s, e in _walk(data, pos, end):
+            if eid != _TRACK_ENTRY:
+                continue
+            tno = None
+            codec = None
+            priv = b""
+            for fid, fs, fe in _walk(data, s, e):
+                if fid == _TRACK_NUMBER:
+                    tno = int.from_bytes(data[fs:fe], "big")
+                elif fid == _CODEC_ID:
+                    codec = data[fs:fe].rstrip(b"\x00")
+                elif fid == _CODEC_PRIVATE:
+                    priv = data[fs:fe]
+                elif fid == _AUDIO:
+                    for aid, as_, ae in _walk(data, fs, fe):
+                        if aid == _CHANNELS:
+                            channels = int.from_bytes(data[as_:ae], "big")
+            if codec == b"A_OPUS" and tno is not None:
+                track_no = tno
+                if priv[:8] == b"OpusHead" and len(priv) >= 19:
+                    channels = priv[9]
+                    preskip = struct.unpack("<H", priv[10:12])[0]
+                    g_q8 = struct.unpack("<h", priv[16:18])[0]
+                    gain = float(10.0 ** (g_q8 / (20.0 * 256.0)))
+                return
+
+    def scan_blocks(pos: int, end: int):
+        for eid, s, e in _walk(data, pos, end):
+            if eid == _CLUSTER:
+                scan_blocks(s, e)
+            elif eid == _BLOCK_GROUP:
+                scan_blocks(s, e)
+            elif eid in (_SIMPLE_BLOCK, _BLOCK):
+                tno, p = _read_vint(data, s, keep_marker=False)
+                if tno != track_no:
+                    continue
+                p += 2                         # 16-bit relative timecode
+                sizes, p = _lace_sizes(data, p, e)
+                for sz in sizes:
+                    packets.append(data[p:p + sz])
+                    p += sz
+
+    for eid, s, e in _walk(data, 0, len(data)):
+        if eid == _SEGMENT:
+            for sid, ss, se in _walk(data, s, e):
+                if sid == _TRACKS:
+                    scan_tracks(ss, se)
+            if track_no is None:
+                raise ValueError("no A_OPUS audio track in WebM file")
+            scan_blocks(s, e)
+    if track_no is None:
+        raise ValueError("not a Matroska/WebM file (no Segment)")
+    return packets, channels, preskip, gain
+
+
+_OPUS_MAX_FRAME = 5760    # 120 ms at 48 kHz, the Opus maximum
+
+
+def read_webm_opus(path: str) -> Tuple[np.ndarray, int]:
+    """Decode a WebM(Opus) file -> (samples (C, N) float32, 48000).
+
+    Opus reconstruction is defined at 48 kHz regardless of the source rate
+    (RFC 6716); the reference's PyAV path surfaces the same 48 kHz frames
+    for these files (utils.py:179-198). OpusHead pre-skip and output gain
+    are applied per RFC 7845 §4.2.
+    """
+    lib = _opus()
+    if lib is None:
+        raise RuntimeError("libopus not found: WebM/Opus decode unavailable")
+    with open(path, "rb") as f:
+        data = f.read()
+    packets, channels, preskip, gain = _demux_webm_opus(data)
+    err = ctypes.c_int(0)
+    dec = lib.opus_decoder_create(48000, channels, ctypes.byref(err))
+    if not dec or err.value != 0:
+        raise RuntimeError(f"opus_decoder_create failed ({err.value})")
+    try:
+        pcm = (ctypes.c_float * (_OPUS_MAX_FRAME * channels))()
+        out: List[np.ndarray] = []
+        for pkt in packets:
+            n = lib.opus_decode_float(dec, pkt, len(pkt), pcm,
+                                      _OPUS_MAX_FRAME, 0)
+            if n < 0:
+                raise RuntimeError(f"opus_decode_float failed ({n})")
+            out.append(np.frombuffer(pcm, dtype=np.float32,
+                                     count=n * channels)
+                       .reshape(n, channels).copy())
+    finally:
+        lib.opus_decoder_destroy(dec)
+    if not out:
+        raise ValueError(f"no Opus packets decoded from {path!r}")
+    samples = np.concatenate(out, axis=0)[preskip:].T
+    if gain != 1.0:
+        samples = samples * np.float32(gain)
+    return np.ascontiguousarray(samples.astype(np.float32)), 48000
+
+
+# --------------------------------------------------------------------------
+# dispatch
+# --------------------------------------------------------------------------
+
+def codec_available(path: str) -> bool:
+    low = path.lower()
+    if low.endswith((".mp3", ".mp2", ".mpga")):
+        return mp3_available()
+    if low.endswith((".webm", ".mkv", ".weba")):
+        return opus_available()
+    return False
+
+
+def read_audio_codec(path: str) -> Tuple[np.ndarray, int]:
+    """Decode mp3/webm via the system codec libs -> ((C, N) float32, rate)."""
+    low = path.lower()
+    if low.endswith((".mp3", ".mp2", ".mpga")):
+        return read_mp3(path)
+    if low.endswith((".webm", ".mkv", ".weba")):
+        return read_webm_opus(path)
+    raise ValueError(f"unsupported container: {path!r}")

@@ -7,9 +7,12 @@ extraction (STFT -> mel log1p) happens INSIDE the jitted train step on
 device, so the host loader only moves raw waveforms — the TPU-first split
 of work.
 
-The reference's noise corpus is webm (undecodable without FFmpeg); when no
-noise files are usable the sampler falls back to synthetic noise (white +
-brown mixture), which preserves the training contract's shape and scale.
+The reference's noise corpus is webm/opus; io/codec.py decodes it through
+the system libopus (mp3 through libmpg123), so training runs against the
+reference's ACTUAL noise conditions wherever those libs exist. When a
+noise file has no usable decoder the sampler falls back to synthetic noise
+(white + brown mixture), which preserves the training contract's shape and
+scale.
 """
 
 from typing import Sequence, Tuple
@@ -17,6 +20,7 @@ from typing import Sequence, Tuple
 import numpy as np
 
 from audio_denoising_tpu.io.cache import AudioCache
+from audio_denoising_tpu.io.codec import codec_available
 from audio_denoising_tpu.io.ffmpeg import ffmpeg_available
 
 
@@ -30,7 +34,8 @@ class MixtureSampler:
             raise ValueError("need at least one clean audio file")
         self.clean_paths = list(clean_paths)
         self.noise_paths = [p for p in noise_paths
-                            if p.lower().endswith(".wav") or ffmpeg_available()]
+                            if p.lower().endswith(".wav")
+                            or codec_available(p) or ffmpeg_available()]
         self.crop = crop_samples
         self.batch = batch_size
         self.noise_gain = noise_gain

@@ -17,21 +17,36 @@ import numpy as np
 
 def evaluate(spec: str, data_dir: str, n_examples: int = 16,
              crop_seconds: float = 2.0, noise_gain: float = 0.5,
-             seed: int = 0):
+             seed: int = 0, noise_dir: str = None,
+             reconstruction: str = None, gl_iters: int = None):
+    """``noise_dir``: a real noise corpus (wav/mp3/webm — the reference's
+    kaggle_audioNoiseDataset decodes through io/codec.py); None keeps the
+    synthetic white+brown fallback. ``reconstruction``/``gl_iters``
+    override the checkpoint's DSP back-end (e.g. 'griffin_lim' to evaluate
+    the app2.py-style reconstruction instead of noisy-phase reuse)."""
+    import dataclasses
+
     import jax.numpy as jnp
     from audio_denoising_tpu.hub import load_pretrained
     from audio_denoising_tpu.apps.offline import denoise_array
+    from audio_denoising_tpu.io.codec import codec_available
     from audio_denoising_tpu.train.data import MixtureSampler
     from audio_denoising_tpu.train.eval_metrics import (
         log_spectral_distance, si_sdr_db, snr_db)
 
     cfg, model, params = load_pretrained(spec)
+    if reconstruction or gl_iters:
+        dsp = dataclasses.replace(
+            cfg.dsp,
+            reconstruction=reconstruction or cfg.dsp.reconstruction,
+            griffin_lim_iters=gl_iters or cfg.dsp.griffin_lim_iters)
+        cfg = dataclasses.replace(cfg, dsp=dsp)
     sr = cfg.dsp.sample_rate
-    noise_dir = os.path.abspath(os.path.join(data_dir, "noise"))
+    excluded_noise_subdir = os.path.abspath(os.path.join(data_dir, "noise"))
     paths = sorted(
         p for p in glob.glob(os.path.join(data_dir, "**", "*.wav"),
                              recursive=True)
-        if not os.path.abspath(p).startswith(noise_dir + os.sep))
+        if not os.path.abspath(p).startswith(excluded_noise_subdir + os.sep))
     if not paths:
         raise FileNotFoundError(f"no WAVs under {data_dir}")
 
@@ -44,9 +59,18 @@ def evaluate(spec: str, data_dir: str, n_examples: int = 16,
     src_sr = AudioCache.probe_rate(paths[0])   # header-only, no decode
     paths = [p for p in paths if AudioCache.probe_rate(p) == src_sr]
     crop = int(crop_seconds * src_sr)
-    sampler = MixtureSampler(paths, crop_samples=crop,
-                             batch_size=n_examples,
-                             noise_gain=(noise_gain, noise_gain), seed=seed)
+    noise_paths = ()
+    if noise_dir:
+        noise_paths = sorted(
+            p for p in glob.glob(os.path.join(noise_dir, "**", "*"),
+                                 recursive=True)
+            if p.lower().endswith(".wav") or codec_available(p))
+        if not noise_paths:
+            raise FileNotFoundError(f"no decodable noise under {noise_dir}")
+    sampler = MixtureSampler(paths, noise_paths=noise_paths,
+                             crop_samples=crop, batch_size=n_examples,
+                             noise_gain=(noise_gain, noise_gain), seed=seed,
+                             sample_rate=src_sr)
     mixture, clean = sampler.sample()
     if src_sr != sr:
         mixture = np.asarray(resample(jnp.asarray(mixture), src_sr, sr))
@@ -61,16 +85,33 @@ def evaluate(spec: str, data_dir: str, n_examples: int = 16,
     mix = jnp.asarray(mixture)
     cl = jnp.asarray(clean)
 
+    # Level-matched estimate: the serving chain carries the reference's
+    # loudness conventions (x3 output gain + leaky-relu suppression,
+    # server.py:213), so absolute level is a convention, not quality.
+    # SNR/LSD are level-sensitive; report them against the least-squares
+    # projection alpha = <clean, est>/|est|^2 as well (the same scale
+    # alignment SI-SDR performs internally).
+    alpha = (cl * est).sum(-1, keepdims=True) / (
+        (est * est).sum(-1, keepdims=True) + 1e-8)
+    est_matched = est * alpha
+
     report = {
         "model": spec,
         "n_examples": n_examples,
         "noise_gain": noise_gain,
+        "noise_source": (os.path.basename(os.path.normpath(noise_dir))
+                         if noise_dir else "synthetic white+brown"),
+        "reconstruction": cfg.dsp.reconstruction,
         "input_si_sdr_db": round(float(si_sdr_db(cl, mix).mean()), 3),
         "output_si_sdr_db": round(float(si_sdr_db(cl, est).mean()), 3),
         "input_snr_db": round(float(snr_db(cl, mix).mean()), 3),
         "output_snr_db": round(float(snr_db(cl, est).mean()), 3),
+        "output_snr_matched_db": round(
+            float(snr_db(cl, est_matched).mean()), 3),
         "input_lsd": round(float(log_spectral_distance(cl, mix).mean()), 4),
         "output_lsd": round(float(log_spectral_distance(cl, est).mean()), 4),
+        "output_lsd_matched": round(
+            float(log_spectral_distance(cl, est_matched).mean()), 4),
     }
     report["si_sdr_improvement_db"] = round(
         report["output_si_sdr_db"] - report["input_si_sdr_db"], 3)
@@ -87,8 +128,17 @@ def main(argv=None) -> int:
     p.add_argument("--seconds", type=float, default=2.0)
     p.add_argument("--noise-gain", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--noise-dir", default=None,
+                   help="real noise corpus (wav/mp3/webm); default: "
+                        "synthetic white+brown")
+    p.add_argument("--reconstruction", default=None,
+                   choices=["phase", "griffin_lim"],
+                   help="override the checkpoint's spectral back-end")
+    p.add_argument("--gl-iters", type=int, default=None)
     args = p.parse_args(argv)
     report = evaluate(args.model, args.data, args.examples, args.seconds,
-                      args.noise_gain, args.seed)
+                      args.noise_gain, args.seed, noise_dir=args.noise_dir,
+                      reconstruction=args.reconstruction,
+                      gl_iters=args.gl_iters)
     print(json.dumps(report, indent=2))
     return 0

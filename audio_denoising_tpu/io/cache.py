@@ -44,11 +44,33 @@ class AudioCache:
                     "container and no ffmpeg binary (WAV always works)")
         return self._entries[key]
 
-    def random_crop(self, path: str, crop_samples: int) -> Tuple[np.ndarray, int]:
+    def load_at(self, path: str, sample_rate: int) -> Tuple[np.ndarray, int]:
+        """Decode + resample to ``sample_rate`` once, then serve from
+        memory (host-side polyphase — the corpus prep happens off-device,
+        crops stay a pure memory slice)."""
+        key = (self._canonical(path), int(sample_rate))
+        if key not in self._entries:
+            samples, sr = self.load(path)
+            if sr != sample_rate:
+                from fractions import Fraction
+                from scipy.signal import resample_poly
+                frac = Fraction(int(sample_rate), int(sr)).limit_denominator(
+                    1 << 16)
+                samples = resample_poly(
+                    samples, frac.numerator, frac.denominator,
+                    axis=-1).astype(np.float32)
+            self._entries[key] = (samples, int(sample_rate))
+        return self._entries[key]
+
+    def random_crop(self, path: str, crop_samples: int,
+                    resample_to: Optional[int] = None) -> Tuple[np.ndarray, int]:
         """Random fixed-size crop (utils.py:98-119); short files wrap by
         tiling (the reference concatenates more files instead,
         utils.py:121-164 — tiling keeps the sampler single-file and pure)."""
-        samples, sr = self.load(path)
+        if resample_to is not None:
+            samples, sr = self.load_at(path, resample_to)
+        else:
+            samples, sr = self.load(path)
         n = samples.shape[-1]
         if n < crop_samples:
             reps = int(np.ceil(crop_samples / n))
@@ -74,9 +96,11 @@ class AudioCache:
         return AudioCache().load(path)[1]
 
     def random_crop_from(self, paths: List[str], crop_samples: int,
-                         sample_rate: Optional[int] = None):
-        """Crop from a random file (optionally filtered by sample rate;
-        rates are probed from headers, not by decoding the corpus)."""
+                         sample_rate: Optional[int] = None,
+                         resample_to: Optional[int] = None):
+        """Crop from a random file (optionally filtered by sample rate —
+        rates are probed from headers, not by decoding the corpus — or
+        resampled to ``resample_to`` so mixed-rate corpora stay usable)."""
         candidates = paths
         if sample_rate is not None:
             candidates = [p for p in paths
@@ -86,7 +110,7 @@ class AudioCache:
                     f"no corpus file at {sample_rate} Hz among "
                     f"{len(paths)} paths")
         path = candidates[int(self._rng.integers(0, len(candidates)))]
-        return self.random_crop(path, crop_samples)
+        return self.random_crop(path, crop_samples, resample_to=resample_to)
 
     def __len__(self):
         return len(self._entries)

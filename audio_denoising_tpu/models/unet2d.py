@@ -6,7 +6,9 @@ configs) and the wide UNet2d4 variant (unet2.py:116), all sharing one
 block grammar:
 
 - DownConvBlock2d: Conv2d(p=1) -> InstanceNorm2d (optional) -> PReLU
-  (unet4.py:233-248); dropout is inference-identity.
+  (unet4.py:233-248); dropout is identity at inference, elementwise at
+  training when apply() is given a dropout_rng (the reference trains with
+  nn.Dropout(0.01) after each block, unet4.py:118).
 - UpConvBlock2d: ConvTranspose2d(p=1, fixed output_padding) -> InstanceNorm
   -> PReLU, then skip concat (unet4.py:211-230).
 - A GaussianSmearing positional field over sqrt-spaced bin positions is
@@ -158,9 +160,24 @@ class UNet2d:
         params[f"{name}.bias"] = base.uniform_init(kk2, (self.chnls_out,), fan)
         return params
 
-    def apply(self, params: Params, logmag: jnp.ndarray) -> jnp.ndarray:
+    def apply(self, params: Params, logmag: jnp.ndarray,
+              dropout_rng=None, dropout: float = 0.0) -> jnp.ndarray:
         """logmag: (C, bins, T) -> residual (C, bins', T'); the reference
-        treats the channel axis as the conv batch axis (unet4.py:147-194)."""
+        treats the channel axis as the conv batch axis (unet4.py:147-194).
+
+        ``dropout_rng``/``dropout``: training-time elementwise dropout
+        after each block's PReLU, matching the reference's nn.Dropout
+        placement (unet4.py:211-248, default 0.01 at unet4.py:118). With
+        dropout_rng=None (the default) the layer is an identity —
+        inference semantics are unchanged."""
+        def drop(h, idx):
+            if dropout_rng is None or dropout <= 0.0:
+                return h
+            keep = 1.0 - dropout
+            mask = jax.random.bernoulli(
+                jax.random.fold_in(dropout_rng, idx), keep, h.shape)
+            return jnp.where(mask, h / keep, 0.0)
+
         n_ch, _, t = logmag.shape
         x = logmag[:, None, :, :]  # (C, 1, bins, T)
         smear = jnp.broadcast_to(self.smear[None, :, :, None],
@@ -168,7 +185,8 @@ class UNet2d:
         x = jnp.concatenate([x, smear], axis=1)
 
         encs: List[jnp.ndarray] = []
-        for (name, _cin, _cout, k, s, norm) in self.spec["downs"]:
+        for li, (name, _cin, _cout, k, s, norm) in enumerate(
+                self.spec["downs"]):
             x = conv2d(x, params[f"{name}.layers.0.weight"],
                        params[f"{name}.layers.0.bias"],
                        stride=_pair(s), padding=1)
@@ -177,6 +195,7 @@ class UNet2d:
                 x = prelu(x, params[f"{name}.layers.2.weight"])
             else:
                 x = prelu(x, params[f"{name}.layers.1.weight"])
+            x = drop(x, li)
             encs.append(x)
 
         n_down = len(encs)
@@ -188,6 +207,7 @@ class UNet2d:
                                  output_padding=_pair(op))
             h = instance_norm_2d(h)
             h = prelu(h, params[f"{name}.layers.2.weight"])
+            h = drop(h, n_down + i)
             h = jnp.concatenate([h, encs[n_down - 2 - i]], axis=1)
 
         name, _cin, k, s, op = self.spec["final"]

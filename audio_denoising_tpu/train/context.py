@@ -83,7 +83,7 @@ class TrainingContext:
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # -- pure steps ---------------------------------------------------------
-    def _forward(self, params, x):
+    def _forward(self, params, x, dropout_rng=None):
         """Model forward for training. For GRUUNet-family models the
         matrixized plan is built INSIDE the step — build_cell_plan probes
         the conv ops, so it is differentiable and gradients flow through
@@ -105,22 +105,33 @@ class TrainingContext:
             t = img.shape[-1]
             t_pad = self.model.compatible_frames(t)
             img = jnp.pad(img, ((0, 0), (0, 0), (0, t_pad - t)))
-            resid = self.model.apply(params, img)[..., :x.shape[-1], :t]
+            # training-time dropout matches the reference's nn.Dropout
+            # in every conv block (unet4.py:118, dropout=0.01); eval and
+            # inference pass dropout_rng=None (identity)
+            resid = self.model.apply(
+                params, img, dropout_rng=dropout_rng,
+                dropout=getattr(self.cfg.model, "dropout", 0.0),
+            )[..., :x.shape[-1], :t]
             return jnp.swapaxes(resid, -1, -2), None
         else:
             return self.model.apply(params, x)
         hx = jnp.zeros((x.shape[0], plan.hidden * plan.compressed), x.dtype)
         return plan_apply_parallel(plan, x, hx)
 
-    def _loss(self, params, mixture, clean, loss_fn):
+    def _loss(self, params, mixture, clean, loss_fn, dropout_rng=None):
         x = self.features(mixture)           # (B, T, M) noisy input
         target = x - self.features(clean)    # residual target (noisy - clean)
-        pred, _ = self._forward(params, x)
+        pred, _ = self._forward(params, x, dropout_rng=dropout_rng)
         return loss_fn(pred, target)
 
     def _train_step_impl(self, state: TrainState, mixture, clean):
+        # per-step dropout key derived from the step counter: stateless,
+        # resumable (the same step re-draws the same mask after a resume)
+        rng = jax.random.fold_in(
+            jax.random.PRNGKey(self.cfg.train.seed), state.step)
         loss, grads = jax.value_and_grad(
-            lambda p: self._loss(p, mixture, clean, self.train_loss)
+            lambda p: self._loss(p, mixture, clean, self.train_loss,
+                                 dropout_rng=rng)
         )(state.params)
         updates, opt_state = self.optim.update(grads, state.opt_state,
                                                state.params)

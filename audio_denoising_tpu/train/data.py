@@ -29,7 +29,11 @@ class MixtureSampler:
                  noise_paths: Sequence[str] = (),
                  crop_samples: int = 48000, batch_size: int = 64,
                  noise_gain: Tuple[float, float] = (0.2, 1.0),
-                 seed: int = 0):
+                 seed: int = 0, sample_rate: int = None):
+        """``sample_rate``: the clean corpus rate — when set, noise crops
+        are resampled to it (the kaggle noise corpus is 48 kHz Opus while
+        the cats corpus is 8 kHz; mixing without resampling would
+        pitch-shift the noise)."""
         if not clean_paths:
             raise ValueError("need at least one clean audio file")
         self.clean_paths = list(clean_paths)
@@ -39,6 +43,7 @@ class MixtureSampler:
         self.crop = crop_samples
         self.batch = batch_size
         self.noise_gain = noise_gain
+        self.sample_rate = sample_rate
         self.cache = AudioCache(seed=seed)
         self.rng = np.random.default_rng(seed)
 
@@ -52,7 +57,8 @@ class MixtureSampler:
 
     def _noise_crop(self) -> np.ndarray:
         if self.noise_paths:
-            crop, _ = self.cache.random_crop_from(self.noise_paths, self.crop)
+            crop, _ = self.cache.random_crop_from(
+                self.noise_paths, self.crop, resample_to=self.sample_rate)
             return crop[0]
         return self._synth_noise(self.crop)
 

@@ -50,3 +50,36 @@ class TestEvaluateHarness:
                   "si_sdr_improvement_db", "input_lsd", "output_lsd"):
             assert k in rep
         assert np.isfinite(rep["si_sdr_improvement_db"])
+
+    def test_evaluate_with_real_noise_dir_and_gl(self, tmp_path, rng):
+        """noise_dir feeds a decodable corpus (here a synthesized webm via
+        the in-test muxer) and --reconstruction overrides the back-end;
+        the report names the noise source and carries the level-matched
+        metrics."""
+        import pytest
+        from audio_denoising_tpu.io.codec import opus_available
+        if not opus_available():
+            pytest.skip("libopus absent")
+        from test_codec import _mux_webm, _opus_encode
+        from audio_denoising_tpu.io.wavio import write_wav
+        from audio_denoising_tpu.apps.evaluate import evaluate
+
+        t = np.arange(96000) / 48000.0
+        for i in range(2):
+            sig = 0.4 * np.sin(2 * np.pi * (300 + 150 * i) * t)
+            write_wav(str(tmp_path / f"c{i}.wav"),
+                      sig[None].astype(np.float32), 48000)
+        ndir = tmp_path / "realnoise"
+        ndir.mkdir()
+        noise = (0.1 * rng.standard_normal(48000)).astype(np.float32)
+        pkts, preskip = _opus_encode(noise, 48000)
+        (ndir / "n.webm").write_bytes(_mux_webm(pkts, preskip, channels=1))
+
+        rep = evaluate("gruunet2-good", str(tmp_path), n_examples=2,
+                       crop_seconds=1.0, noise_gain=1.0,
+                       noise_dir=str(ndir), reconstruction="griffin_lim",
+                       gl_iters=4)
+        assert rep["noise_source"] == "realnoise"
+        assert rep["reconstruction"] == "griffin_lim"
+        for k in ("output_snr_matched_db", "output_lsd_matched"):
+            assert np.isfinite(rep[k])

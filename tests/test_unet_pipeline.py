@@ -198,3 +198,29 @@ class TestUNetStreaming:
             np.testing.assert_array_equal(o["b"], tail_b[i])
         fresh.remove_stream("a")
         assert fresh.active_streams == 1
+
+
+class TestDropout:
+    def test_training_dropout_semantics(self, unet, rng):
+        """dropout_rng=None is an identity (inference semantics unchanged);
+        a key + rate>0 perturbs the output, different keys differently —
+        the reference trains with nn.Dropout(0.01) per block
+        (unet4.py:118), reconstructed here."""
+        cfg, model, params = unet
+        x = jnp.asarray(0.1 * rng.standard_normal((1, 241, 91)), jnp.float32)
+        base = model.apply(params, x)
+        ident = model.apply(params, x, dropout_rng=None, dropout=0.5)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(ident))
+        zero = model.apply(params, x, dropout_rng=jax.random.PRNGKey(1),
+                           dropout=0.0)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(zero))
+        d1 = model.apply(params, x, dropout_rng=jax.random.PRNGKey(1),
+                         dropout=0.3)
+        d2 = model.apply(params, x, dropout_rng=jax.random.PRNGKey(2),
+                         dropout=0.3)
+        assert not np.allclose(np.asarray(d1), np.asarray(base))
+        assert not np.allclose(np.asarray(d1), np.asarray(d2))
+        # deterministic per key (resume safety)
+        d1b = model.apply(params, x, dropout_rng=jax.random.PRNGKey(1),
+                          dropout=0.3)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d1b))

@@ -59,8 +59,15 @@ def denoise_array(cfg: Config, model, params, samples: np.ndarray,
 
 def denoise_file(spec: str, in_path: str, out_path: str,
                  cfg: Optional[Config] = None) -> str:
+    """Any decodable container in (wav natively; mp3/webm through the
+    system codec libs, matching the reference's decode-anything upload
+    path, app.py:171-223) -> denoised WAV out."""
     cfg, model, params = load_pretrained(spec, cfg)
-    samples, sr = read_wav(in_path)
+    if in_path.lower().endswith(".wav"):
+        samples, sr = read_wav(in_path)
+    else:
+        from audio_denoising_tpu.io.cache import AudioCache
+        samples, sr = AudioCache().load(in_path)
     out = denoise_array(cfg, model, params, samples, sr)
     write_wav(out_path, out[None], cfg.dsp.sample_rate)
     return out_path

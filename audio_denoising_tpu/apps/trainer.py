@@ -43,12 +43,20 @@ def main(argv=None) -> int:
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all devices")
     p.add_argument("--device-data", action="store_true",
-                   help="device-resident pipeline: corpus uploaded to HBM "
-                        "once, batches synthesized on device (fastest on "
-                        "remote-attached chips)")
+                   help="device-resident pipeline: corpus (and noise "
+                        "corpus) uploaded to HBM once, batches synthesized "
+                        "on device — 45 ms/step vs 464 ms for the host "
+                        "sampler on the remote-attached chip")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--crop-samples", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--noise-gain", type=float, nargs=2, default=(0.2, 1.0),
+                   metavar=("LO", "HI"),
+                   help="uniform noise gain range per mixture")
+    p.add_argument("--noise-dir", default=None,
+                   help="extra noise corpus (wav/mp3/webm via io/codec.py) "
+                        "in addition to <data>/noise; crops are resampled "
+                        "to the clean corpus rate")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -79,16 +87,40 @@ def main(argv=None) -> int:
         corpus = DeviceCorpus.from_paths(clean, cfg.dsp.sample_rate)
         print(f"device corpus: {len(corpus)} samples "
               f"({len(corpus) / cfg.dsp.sample_rate:.0f}s)")
+        noise_corpus = None
+        noise_all = list(noise)
+        if args.noise_dir:
+            import glob as _glob
+            from audio_denoising_tpu.io.codec import codec_available
+            noise_all += sorted(
+                q for q in _glob.glob(
+                    os.path.join(args.noise_dir, "**", "*"), recursive=True)
+                if q.lower().endswith(".wav") or codec_available(q))
+        if noise_all:
+            noise_corpus = DeviceCorpus.from_paths(noise_all,
+                                                   cfg.dsp.sample_rate)
+            print(f"device noise corpus: {len(noise_corpus)} samples")
         ctx.fit_on_device(corpus, iters=args.iters,
-                          log_every=args.log_every)
+                          log_every=args.log_every,
+                          noise_corpus=noise_corpus)
         ctx.save(args.save)
         print(f"saved {args.save} at iter {ctx.total_iters}")
         return 0
 
+    if args.noise_dir:
+        import glob as _glob
+        from audio_denoising_tpu.io.codec import codec_available
+        noise = list(noise) + sorted(
+            q for q in _glob.glob(os.path.join(args.noise_dir, "**", "*"),
+                                  recursive=True)
+            if q.lower().endswith(".wav") or codec_available(q))
+    from audio_denoising_tpu.io.cache import AudioCache
+    src_sr = AudioCache.probe_rate(clean[0])
     sampler = MixtureSampler(clean, noise,
                              crop_samples=cfg.train.crop_samples,
                              batch_size=cfg.train.batch_size,
-                             seed=cfg.train.seed)
+                             noise_gain=tuple(args.noise_gain),
+                             seed=cfg.train.seed, sample_rate=src_sr)
 
     if args.data_parallel and len(jax.devices()) > 1:
         from audio_denoising_tpu.parallel.mesh import make_mesh

@@ -173,40 +173,42 @@ class TrainingContext:
         return self.train_loss_record
 
     def fit_on_device(self, corpus, iters: int, steps_per_dispatch: int = 10,
-                      log_every: int = 0, seed: int = 0):
+                      log_every: int = 0, seed: int = 0, noise_corpus=None):
         """Fully device-resident training (train/device_data.py): batch
         synthesis + K train steps per dispatch; per-dispatch host traffic
-        is one key in, K loss scalars out."""
+        is one key in, K loss scalars out. The corpus buffers ride as jit
+        ARGUMENTS (device-resident across dispatches, never re-staged);
+        ``noise_corpus`` (a second DeviceCorpus) switches noise synthesis
+        to real noise crops."""
         import functools
         from audio_denoising_tpu.train.device_data import make_device_sampler
 
         sample = make_device_sampler(corpus, self.cfg.train.crop_samples,
-                                     self.cfg.train.batch_size)
+                                     self.cfg.train.batch_size,
+                                     noise_corpus=noise_corpus)
         K = steps_per_dispatch
+        buf = corpus.buffer
+        nbuf = noise_corpus.buffer if noise_corpus is not None else None
 
-        def one(carry, _):
+        def one(bufs, carry, _):
             state, key = carry
             key, sub = jax.random.split(key)
-            mixture, clean = sample(sub)
+            mixture, clean = sample(sub, *bufs)
             state, loss = self._train_step_impl(state, mixture, clean)
             return (state, key), loss
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def run(carry):
-            return jax.lax.scan(one, carry, None, length=K)
-
         @functools.partial(jax.jit, donate_argnums=(0,),
                            static_argnames=("length",))
-        def run_n(carry, length):
-            return jax.lax.scan(one, carry, None, length=length)
+        def run_n(carry, bufs, length):
+            return jax.lax.scan(functools.partial(one, bufs), carry, None,
+                                length=length)
 
+        bufs = (buf,) if nbuf is None else (buf, nbuf)
         carry = (self.state, jax.random.PRNGKey(seed))
         done = 0
         while done < iters:
-            if iters - done < K:     # clamp the last dispatch to iters
-                carry, losses = run_n(carry, length=iters - done)
-            else:
-                carry, losses = run(carry)
+            carry, losses = run_n(carry, bufs,
+                                  length=min(K, iters - done))
             losses = np.asarray(losses)
             for v in losses:
                 self.total_iters += 1

@@ -9,17 +9,20 @@ features) and synthesize every batch on device inside the jitted step:
 - clean crops: random windows into the concatenated corpus buffer
   (windows may straddle file boundaries — equivalent to the reference's
   collect-files-until-buffer-met concatenation, utils.py:121-164);
-- noise: the sampler's white+brown synthetic mixture, generated with the
-  on-device PRNG (the reference's webm noise corpus is undecodable here);
+- noise: random crops of a second device-resident REAL noise buffer (the
+  reference's kaggle webm corpus, decoded via io/codec.py), or the
+  white+brown synthetic mixture from the on-device PRNG when no noise
+  corpus is given;
 - mixture: clip(clean + gain * noise) (combine_audio, utils.py:368-372).
 
 Per-step host<->device traffic: one PRNG key in, one loss scalar out.
 
-Measured tradeoff: on a DIRECTLY-attached chip this removes the per-step
-transfer entirely. On this environment's remote-attached chip the big
-corpus-buffer gather itself streams through the relay (~1 s/step vs
-0.46 s for host sampling + transfer), so the host sampler remains the CLI
-default; pass --device-data where the chip is local.
+Performance note (hard-won): the corpus buffers must ride as jit
+ARGUMENTS. A first version closed over them as traced constants and the
+runtime re-staged the 230 MB corpus per dispatch — ~1 s/step on the relay
+(mis-blamed on "big-buffer gather" in round 1). With buffers as arguments
+the same loop runs **45 ms/step** (vs 464 ms for host sampling + per-step
+transfer): 10× faster, and the on-device noise is the real corpus.
 """
 
 from typing import Sequence, Tuple
@@ -72,31 +75,48 @@ class DeviceCorpus:
 
 def make_device_sampler(corpus: DeviceCorpus, crop_samples: int,
                         batch_size: int,
-                        noise_gain: Tuple[float, float] = (0.2, 1.0)):
-    """-> jittable ``sample(key) -> (mixture, clean)``, both
-    (batch, crop_samples), computed entirely on device."""
-    buf = corpus.buffer
-    n = buf.shape[0]
-    assert n >= crop_samples, "corpus shorter than one crop"
+                        noise_gain: Tuple[float, float] = (0.2, 1.0),
+                        noise_corpus: "DeviceCorpus" = None):
+    """-> jittable ``sample(key, buf[, noise_buf]) -> (mixture, clean)``,
+    both (batch, crop_samples), computed entirely on device.
 
-    def _crop(start):
+    The corpus buffers are ARGUMENTS of the returned function, not traced
+    constants: a captured jnp constant can be re-materialized per dispatch
+    by the compiler/runtime, while an argument is guaranteed device-
+    resident across calls. ``noise_corpus`` switches the noise source from
+    the synthetic white+brown mixture to random crops of a real noise
+    buffer (the reference's kaggle corpus decodes via io/codec.py)."""
+    n = int(corpus.buffer.shape[0])
+    assert n >= crop_samples, "corpus shorter than one crop"
+    n_noise = (int(noise_corpus.buffer.shape[0])
+               if noise_corpus is not None else 0)
+    if noise_corpus is not None:
+        assert n_noise >= crop_samples, "noise corpus shorter than one crop"
+
+    def _crop_from(buf, start):
         return jax.lax.dynamic_slice(buf, (start,), (crop_samples,))
 
-    def sample(key):
-        k_pos, k_white, k_gain = jax.random.split(key, 3)
+    def sample(key, buf, noise_buf=None):
+        k_pos, k_noise, k_gain = jax.random.split(key, 3)
         starts = jax.random.randint(k_pos, (batch_size,), 0,
                                     n - crop_samples)
-        clean = jax.vmap(_crop)(starts)
+        clean = jax.vmap(_crop_from, in_axes=(None, 0))(buf, starts)
 
-        white = jax.random.normal(k_white, (batch_size, crop_samples))
-        brown = jnp.cumsum(white, axis=-1)
-        brown = brown / jnp.maximum(
-            jnp.max(jnp.abs(brown), axis=-1, keepdims=True), 1e-6)
-        wn = white / jnp.maximum(
-            jnp.max(jnp.abs(white), axis=-1, keepdims=True), 1e-6)
-        noise = 0.7 * wn + 0.3 * brown
-        noise = noise / jnp.maximum(
-            jnp.max(jnp.abs(noise), axis=-1, keepdims=True), 1e-6)
+        if noise_buf is not None:
+            nstarts = jax.random.randint(k_noise, (batch_size,), 0,
+                                         n_noise - crop_samples)
+            noise = jax.vmap(_crop_from, in_axes=(None, 0))(noise_buf,
+                                                            nstarts)
+        else:
+            white = jax.random.normal(k_noise, (batch_size, crop_samples))
+            brown = jnp.cumsum(white, axis=-1)
+            brown = brown / jnp.maximum(
+                jnp.max(jnp.abs(brown), axis=-1, keepdims=True), 1e-6)
+            wn = white / jnp.maximum(
+                jnp.max(jnp.abs(white), axis=-1, keepdims=True), 1e-6)
+            noise = 0.7 * wn + 0.3 * brown
+            noise = noise / jnp.maximum(
+                jnp.max(jnp.abs(noise), axis=-1, keepdims=True), 1e-6)
 
         lo, hi = noise_gain
         gain = jax.random.uniform(k_gain, (batch_size, 1), minval=lo,

@@ -256,13 +256,15 @@ def _bench_variants(cfg, model, params, chunks, K, hop):
         ws0 = webrtc_hop_init_state(wcfg, wplan, N_STREAMS)
         wchunks = jnp.zeros((K // 2, N_STREAMS, whop), jnp.float32)
         for _ in range(2):
-            _s, out = run_w(ws0, wchunks, K // 2)
-        jax.block_until_ready(out)
+            s_out = run_w(ws0, wchunks, K // 2)
+        jax.block_until_ready(s_out)
         ts = []
         for _ in range(6):
             t0 = time.perf_counter()
-            _s, out = run_w(ws0, wchunks, K // 2)
-            jax.block_until_ready(out)
+            s_out = run_w(ws0, wchunks, K // 2)
+            # block on the CARRIED STATE too: the sliced output alone can
+            # become ready before the GL recursion finishes on this backend
+            jax.block_until_ready(s_out)
             ts.append((time.perf_counter() - t0) * 1e3 / (K // 2))
         print(f"variant=fused_webrtc_gl8 p50={np.percentile(ts, 50):.3f}ms "
               f"(hop {whop / wcfg.dsp.sample_rate * 1e3:.0f}ms @48kHz)",

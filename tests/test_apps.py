@@ -39,6 +39,23 @@ class TestOffline:
         assert samples.shape[-1] == 24000
         assert np.abs(samples).max() > 0
 
+    def test_denoise_mp3_input(self, tmp_path):
+        """Non-WAV containers decode through io/codec.py (the reference's
+        upload path accepts anything PyAV reads, app.py:171-223)."""
+        import pytest
+        from audio_denoising_tpu.io.codec import mp3_available
+        if not mp3_available():
+            pytest.skip("libmpg123 absent")
+        src = "/root/reference/data/uncompressed/sine_sweep/sine_sweep.mp3"
+        import os
+        if not os.path.exists(src):
+            pytest.skip("reference mp3 fixture absent")
+        from audio_denoising_tpu.apps.offline import denoise_file
+        out = str(tmp_path / "out.wav")
+        denoise_file("gruunet2-good", src, out)
+        samples, sr = read_wav(out)
+        assert sr == 48000 and np.abs(samples).max() > 0
+
     def test_denoise_resamples(self, tmp_path):
         from audio_denoising_tpu.apps.offline import denoise_file
         src = str(tmp_path / "in44.wav")

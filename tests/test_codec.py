@@ -216,3 +216,26 @@ def _mux_webm(packets, preskip: int, channels: int) -> bytes:
         _ebml(b"\x42\x82", b"webm"),                   # DocType
     ]))
     return ebml_header + segment
+
+
+class TestRateAwareCache:
+    def test_load_at_preserves_pitch(self, tmp_path, rng):
+        """48 kHz -> 8 kHz cached resample keeps a 440 Hz tone at 440 Hz
+        (the property the noise-mixing path depends on)."""
+        from audio_denoising_tpu.io.wavio import write_wav
+        t = np.arange(48000, dtype=np.float32) / 48000.0
+        sig = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+        p = tmp_path / "tone.wav"
+        write_wav(str(p), sig[None], 48000)
+
+        cache = AudioCache()
+        out, sr = cache.load_at(str(p), 8000)
+        assert sr == 8000 and out.shape[-1] == 8000
+        spec = np.abs(np.fft.rfft(out[0, 1000:7000] *
+                                  np.hanning(6000)))
+        freq = np.fft.rfftfreq(6000, 1 / 8000)[np.argmax(spec)]
+        assert abs(freq - 440.0) < 5.0, freq
+        # second load serves the cached entry (no new decode)
+        n_entries = len(cache)
+        cache.load_at(str(p), 8000)
+        assert len(cache) == n_entries

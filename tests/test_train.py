@@ -130,7 +130,7 @@ class TestDeviceResidentTraining:
         buf = jnp.asarray(0.5 * rng.standard_normal(10000), jnp.float32)
         corpus = DeviceCorpus(buf, 48000)
         sample = jax.jit(make_device_sampler(corpus, 2000, 4))
-        m, c = sample(jax.random.PRNGKey(0))
+        m, c = sample(jax.random.PRNGKey(0), corpus.buffer)
         assert m.shape == c.shape == (4, 2000)
         assert float(jnp.abs(m).max()) <= 1.0
         # clean crops really come from the corpus
@@ -243,3 +243,26 @@ class TestOptimizerResume:
         loss_orig = ctx.train_step(mix, clean)
         loss_resumed = ctx2.train_step(mix, clean)
         assert abs(loss_orig - loss_resumed) < 1e-6
+
+
+class TestDeviceRealNoise:
+    def test_device_sampler_real_noise_crops(self, rng):
+        """With a noise DeviceCorpus, mixtures are clean + real noise crops
+        (both gathered on device), not the synthetic white+brown."""
+        import jax
+        import jax.numpy as jnp
+        from audio_denoising_tpu.train.device_data import (
+            DeviceCorpus, make_device_sampler)
+        buf = jnp.asarray(0.4 * rng.standard_normal(10000), jnp.float32)
+        nbuf = jnp.asarray(np.tile(np.float32([0.25]), 8000))  # constant DC
+        corpus = DeviceCorpus(buf, 48000)
+        noise = DeviceCorpus(nbuf, 48000)
+        sample = jax.jit(make_device_sampler(
+            corpus, 2000, 4, noise_gain=(1.0, 1.0), noise_corpus=noise))
+        m, c = sample(jax.random.PRNGKey(0), buf, nbuf)
+        assert m.shape == c.shape == (4, 2000)
+        # mixture - clean must equal the constant noise crop exactly
+        # (no clipping triggered at these scales away from |x|>0.75)
+        diff = np.asarray(m - c)
+        inside = np.abs(np.asarray(c)) < 0.7
+        np.testing.assert_allclose(diff[inside], 0.25, atol=1e-6)

@@ -224,3 +224,24 @@ class TestDropout:
         d1b = model.apply(params, x, dropout_rng=jax.random.PRNGKey(1),
                           dropout=0.3)
         np.testing.assert_array_equal(np.asarray(d1), np.asarray(d1b))
+
+
+def test_unet_mode_on_mesh(rng):
+    """unet mode shards its slot axis over a mesh like the other modes
+    (the phase scalar replicates); output matches the single-device
+    engine."""
+    from jax.sharding import Mesh
+    cfg = _stream_cfg(PRESETS["unet4-raw480"], seg_hops=4, ctx=480,
+                      max_streams=8)
+    hop = cfg.dsp.hop_length
+    mesh = Mesh(np.asarray(jax.devices()), ("streams",))
+    ref = StreamEngine(cfg, _ZeroUNet(), None, mode="unet", max_streams=8)
+    eng = StreamEngine(cfg, _ZeroUNet(), None, mode="unet", max_streams=8,
+                       mesh=mesh)
+    for e in (ref, eng):
+        e.add_stream("a")
+    for t in range(10):
+        c = (0.1 * rng.standard_normal(hop)).astype(np.float32)
+        a = ref.process({"a": c})["a"]
+        b = eng.process({"a": c})["a"]
+        np.testing.assert_allclose(a, b, atol=1e-6)

@@ -29,17 +29,18 @@ def evaluate(spec: str, data_dir: str, n_examples: int = 16,
     import jax.numpy as jnp
     from audio_denoising_tpu.hub import load_pretrained
     from audio_denoising_tpu.apps.offline import denoise_array
-    from audio_denoising_tpu.io.codec import codec_available
     from audio_denoising_tpu.train.data import MixtureSampler
     from audio_denoising_tpu.train.eval_metrics import (
         log_spectral_distance, si_sdr_db, snr_db)
 
     cfg, model, params = load_pretrained(spec)
-    if reconstruction or gl_iters:
+    if reconstruction is not None or gl_iters is not None:
         dsp = dataclasses.replace(
             cfg.dsp,
-            reconstruction=reconstruction or cfg.dsp.reconstruction,
-            griffin_lim_iters=gl_iters or cfg.dsp.griffin_lim_iters)
+            reconstruction=(reconstruction if reconstruction is not None
+                            else cfg.dsp.reconstruction),
+            griffin_lim_iters=(gl_iters if gl_iters is not None
+                               else cfg.dsp.griffin_lim_iters))
         cfg = dataclasses.replace(cfg, dsp=dsp)
     sr = cfg.dsp.sample_rate
     excluded_noise_subdir = os.path.abspath(os.path.join(data_dir, "noise"))
@@ -61,10 +62,8 @@ def evaluate(spec: str, data_dir: str, n_examples: int = 16,
     crop = int(crop_seconds * src_sr)
     noise_paths = ()
     if noise_dir:
-        noise_paths = sorted(
-            p for p in glob.glob(os.path.join(noise_dir, "**", "*"),
-                                 recursive=True)
-            if p.lower().endswith(".wav") or codec_available(p))
+        from audio_denoising_tpu.io.codec import list_decodable_audio
+        noise_paths = list_decodable_audio(noise_dir)
         if not noise_paths:
             raise FileNotFoundError(f"no decodable noise under {noise_dir}")
     sampler = MixtureSampler(paths, noise_paths=noise_paths,

@@ -16,14 +16,15 @@ from audio_denoising_tpu.train.data import MixtureSampler
 
 
 def find_corpus(data_dir: str):
+    from audio_denoising_tpu.io.codec import list_decodable_audio
     noise_dir = os.path.join(data_dir, "noise")
     clean = sorted(
         p for p in glob.glob(os.path.join(data_dir, "**", "*.wav"),
                              recursive=True)
         if not os.path.abspath(p).startswith(os.path.abspath(noise_dir)
                                              + os.sep))
-    noise = sorted(glob.glob(os.path.join(noise_dir, "**", "*.*"),
-                             recursive=True)) if os.path.isdir(noise_dir) else []
+    noise = (list_decodable_audio(noise_dir)
+             if os.path.isdir(noise_dir) else [])
     return clean, noise
 
 
@@ -88,32 +89,25 @@ def main(argv=None) -> int:
         print(f"device corpus: {len(corpus)} samples "
               f"({len(corpus) / cfg.dsp.sample_rate:.0f}s)")
         noise_corpus = None
-        noise_all = list(noise)
+        noise_all = list(noise)       # already decodability-filtered
         if args.noise_dir:
-            import glob as _glob
-            from audio_denoising_tpu.io.codec import codec_available
-            noise_all += sorted(
-                q for q in _glob.glob(
-                    os.path.join(args.noise_dir, "**", "*"), recursive=True)
-                if q.lower().endswith(".wav") or codec_available(q))
+            from audio_denoising_tpu.io.codec import list_decodable_audio
+            noise_all += list_decodable_audio(args.noise_dir)
         if noise_all:
             noise_corpus = DeviceCorpus.from_paths(noise_all,
                                                    cfg.dsp.sample_rate)
             print(f"device noise corpus: {len(noise_corpus)} samples")
         ctx.fit_on_device(corpus, iters=args.iters,
                           log_every=args.log_every,
-                          noise_corpus=noise_corpus)
+                          noise_corpus=noise_corpus,
+                          noise_gain=tuple(args.noise_gain))
         ctx.save(args.save)
         print(f"saved {args.save} at iter {ctx.total_iters}")
         return 0
 
     if args.noise_dir:
-        import glob as _glob
-        from audio_denoising_tpu.io.codec import codec_available
-        noise = list(noise) + sorted(
-            q for q in _glob.glob(os.path.join(args.noise_dir, "**", "*"),
-                                  recursive=True)
-            if q.lower().endswith(".wav") or codec_available(q))
+        from audio_denoising_tpu.io.codec import list_decodable_audio
+        noise = list(noise) + list_decodable_audio(args.noise_dir)
     from audio_denoising_tpu.io.cache import AudioCache
     src_sr = AudioCache.probe_rate(clean[0])
     sampler = MixtureSampler(clean, noise,

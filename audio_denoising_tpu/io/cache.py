@@ -48,8 +48,10 @@ class AudioCache:
         """Decode + resample to ``sample_rate`` once, then serve from
         memory (host-side polyphase — the corpus prep happens off-device,
         crops stay a pure memory slice)."""
-        key = (self._canonical(path), int(sample_rate))
+        raw_key = self._canonical(path)
+        key = (raw_key, int(sample_rate))
         if key not in self._entries:
+            had_raw = raw_key in self._entries
             samples, sr = self.load(path)
             if sr != sample_rate:
                 from fractions import Fraction
@@ -59,6 +61,12 @@ class AudioCache:
                 samples = resample_poly(
                     samples, frac.numerator, frac.denominator,
                     axis=-1).astype(np.float32)
+                if not had_raw:
+                    # don't hold the source-rate decode alive too — only
+                    # the resampled entry is read again (a 48 kHz noise
+                    # file resampled to 8 kHz would otherwise pin 7x its
+                    # useful size for the process lifetime)
+                    del self._entries[raw_key]
             self._entries[key] = (samples, int(sample_rate))
         return self._entries[key]
 

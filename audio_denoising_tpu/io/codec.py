@@ -390,13 +390,40 @@ def read_webm_opus(path: str) -> Tuple[np.ndarray, int]:
 # dispatch
 # --------------------------------------------------------------------------
 
+def _has_opus_track(path: str, scan_bytes: int = 1 << 20) -> bool:
+    """Cheap container sniff: does this Matroska file carry an A_OPUS
+    track? (Extension alone admits AAC/Vorbis .mkv files that would crash
+    downstream corpus samplers.) Scans the head of the file only."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(scan_bytes)
+    except OSError:
+        return False
+    return b"A_OPUS" in head
+
+
 def codec_available(path: str) -> bool:
     low = path.lower()
     if low.endswith((".mp3", ".mp2", ".mpga")):
         return mp3_available()
     if low.endswith((".webm", ".mkv", ".weba")):
-        return opus_available()
+        if not opus_available():
+            return False
+        # for an existing file, verify the container actually has an Opus
+        # track; for a bare name (capability query) trust the extension
+        return _has_opus_track(path) if os.path.exists(path) else True
     return False
+
+
+def list_decodable_audio(root: str):
+    """All decodable audio under ``root`` (recursive, sorted): WAV always;
+    mp3/webm when the system codec libs are present. The one corpus-
+    enumeration filter shared by the trainer, evaluator and data loaders."""
+    import glob as _glob
+    return sorted(
+        p for p in _glob.glob(os.path.join(root, "**", "*"), recursive=True)
+        if os.path.isfile(p)
+        and (p.lower().endswith(".wav") or codec_available(p)))
 
 
 def read_audio_codec(path: str) -> Tuple[np.ndarray, int]:

@@ -185,6 +185,11 @@ class StreamEngine:
             # and drain the output buffer (pipeline.make_unet_stream_step).
             from audio_denoising_tpu.pipeline import (
                 make_unet_stream_step, unet_stream_init_state)
+            if not hasattr(model, "compatible_frames"):
+                raise ValueError(
+                    f"mode='unet' needs a stateless U-Net (model "
+                    f"{type(model).__name__} has no compatible_frames); "
+                    f"recurrent models stream via 'fast'/'webrtc'/'fused'")
             step = make_unet_stream_step(cfg, model)
             self.state = unet_stream_init_state(cfg, model, self.n)
             self._zero_one = unet_stream_init_state(cfg, model, 1)
@@ -319,7 +324,8 @@ class StreamEngine:
         if self._cadence_locked:
             self.state, out = self._step(self.params, self.state,
                                          jnp.asarray(batch),
-                                         self._next_phase())
+                                         self._phase_consts[self._phase])
+            self._advance_phase()     # only after the step succeeded
         else:
             self.state, out = self._masked_step(self.params, self.state,
                                                 jnp.asarray(batch),
@@ -345,7 +351,8 @@ class StreamEngine:
         if self._cadence_locked:
             self.state, out = self._step(self.params, self.state,
                                          jnp.asarray(batch),
-                                         self._next_phase())
+                                         self._phase_consts[self._phase])
+            self._advance_phase()
         else:
             self.state, out = self._masked_step(self.params, self.state,
                                                 jnp.asarray(batch),
@@ -353,17 +360,18 @@ class StreamEngine:
                                                 self._phase_consts[0])
         return out, slot_map
 
-    def _next_phase(self) -> jnp.ndarray:
-        """Consume and advance the segment-cycle phase (unet mode)."""
-        const = self._phase_consts[self._phase]
+    def _advance_phase(self) -> None:
+        """Advance the segment-cycle phase — call AFTER a successful step:
+        advancing first would desync phase from the ring when a step
+        raises (the tick thread's crash guard keeps serving afterwards)."""
         self._phase = (self._phase + 1) % self._seg_hops
-        return const
 
     def process_batch(self, batch: jnp.ndarray) -> jnp.ndarray:
         """Raw fixed-shape path for benchmarking/serving fabrics:
         (N, hop) in -> (N, hop) out."""
         self.state, out = self._step(self.params, self.state, batch,
-                                     self._next_phase())
+                                     self._phase_consts[self._phase])
+        self._advance_phase()
         return out
 
     # -- failure recovery (SURVEY §5: snapshot/restore of stream state) -----

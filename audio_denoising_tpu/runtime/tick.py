@@ -86,16 +86,27 @@ class BatchingTick:
     # -- the tick -------------------------------------------------------------
     def _loop(self) -> None:
         hop = self.engine.hop
+        # Cadence-locked engines (unet mode) advance EVERY slot per engine
+        # tick: draining duplicate-sid rounds back-to-back would splice
+        # zero hops into streams whose chunk sits one round later in the
+        # same window. For those engines run ONE round per wall tick and
+        # carry the remainder into the next tick's batch.
+        cadence = getattr(self.engine, "_cadence_locked", False)
+        carry = []
         self._inflight = []
         while not self._stop.is_set():
             try:
                 first = self.requests.get(timeout=0.02 if self._inflight
                                           else 0.1)
             except queue.Empty:
-                # idle: flush outstanding device results
-                self._drain()
-                continue
-            pending = [first]
+                if carry:
+                    first = None
+                else:
+                    # idle: flush outstanding device results
+                    self._drain()
+                    continue
+            pending = carry + ([first] if first is not None else [])
+            carry = []
             deadline = time.perf_counter() + self.tick_s
             while time.perf_counter() < deadline:
                 try:
@@ -161,6 +172,9 @@ class BatchingTick:
                         for sid in batch:
                             if errs[sid]:
                                 errs[sid](f"engine error: {e!r}")
+                if cadence and rest:
+                    carry = rest             # next wall tick, next cycle hop
+                    break
                 pending = rest
-            if not pending and self.requests.empty():
+            if not pending and not carry and self.requests.empty():
                 self._flush_ready()

@@ -173,7 +173,8 @@ class TrainingContext:
         return self.train_loss_record
 
     def fit_on_device(self, corpus, iters: int, steps_per_dispatch: int = 10,
-                      log_every: int = 0, seed: int = 0, noise_corpus=None):
+                      log_every: int = 0, seed: int = 0, noise_corpus=None,
+                      noise_gain=(0.2, 1.0)):
         """Fully device-resident training (train/device_data.py): batch
         synthesis + K train steps per dispatch; per-dispatch host traffic
         is one key in, K loss scalars out. The corpus buffers ride as jit
@@ -185,6 +186,7 @@ class TrainingContext:
 
         sample = make_device_sampler(corpus, self.cfg.train.crop_samples,
                                      self.cfg.train.batch_size,
+                                     noise_gain=tuple(noise_gain),
                                      noise_corpus=noise_corpus)
         K = steps_per_dispatch
         buf = corpus.buffer

@@ -109,7 +109,11 @@ def main(argv=None) -> int:
         from audio_denoising_tpu.io.codec import list_decodable_audio
         noise = list(noise) + list_decodable_audio(args.noise_dir)
     from audio_denoising_tpu.io.cache import AudioCache
+    # single-rate clean corpus (mirrors evaluate.py): a mixed-rate corpus
+    # would otherwise get noise resampled to the FIRST file's rate and
+    # pitch-shifted against the rest
     src_sr = AudioCache.probe_rate(clean[0])
+    clean = [p for p in clean if AudioCache.probe_rate(p) == src_sr]
     sampler = MixtureSampler(clean, noise,
                              crop_samples=cfg.train.crop_samples,
                              batch_size=cfg.train.batch_size,

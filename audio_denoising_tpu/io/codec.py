@@ -390,16 +390,45 @@ def read_webm_opus(path: str) -> Tuple[np.ndarray, int]:
 # dispatch
 # --------------------------------------------------------------------------
 
-def _has_opus_track(path: str, scan_bytes: int = 1 << 20) -> bool:
-    """Cheap container sniff: does this Matroska file carry an A_OPUS
-    track? (Extension alone admits AAC/Vorbis .mkv files that would crash
-    downstream corpus samplers.) Scans the head of the file only."""
+@lru_cache(maxsize=4096)
+def _has_opus_track(path: str, scan_bytes: int = 8 << 20) -> bool:
+    """Container sniff: does this Matroska file carry an A_OPUS track?
+    (Extension alone admits AAC/Vorbis .mkv files that would crash
+    downstream corpus samplers.) Walks the EBML Tracks element — a
+    substring scan would false-positive on 'A_OPUS' bytes inside tag or
+    cover-art data. Cached per path (corpus files don't change mid-run);
+    reads at most ``scan_bytes`` of head, falling back to a substring
+    check if the structure is truncated at that boundary."""
     try:
         with open(path, "rb") as f:
-            head = f.read(scan_bytes)
+            data = f.read(scan_bytes)
     except OSError:
         return False
-    return b"A_OPUS" in head
+    try:
+        for eid, s, e in _walk(data, 0, len(data)):
+            if eid != _SEGMENT:
+                continue
+            for sid, ss, se in _walk(data, s, e):
+                if sid != _TRACKS:
+                    continue
+                for tid, ts, te in _walk(data, ss, se):
+                    if tid != _TRACK_ENTRY:
+                        continue
+                    for fid, fs, fe in _walk(data, ts, te):
+                        if fid == _CODEC_ID and \
+                                data[fs:fe].rstrip(b"\x00") == b"A_OPUS":
+                            return True
+                return False          # Tracks parsed, no Opus entry
+        return False
+    except Exception:
+        # truncated/odd structure: degrade to the substring heuristic
+        return b"A_OPUS" in data
+
+
+# other compressed-audio extensions the ffmpeg-subprocess fallback
+# (io/ffmpeg.py) can decode when an ffmpeg binary exists
+_FFMPEG_EXTS = (".flac", ".ogg", ".oga", ".opus", ".m4a", ".aac", ".mp4",
+                ".wma", ".aiff", ".aif")
 
 
 def codec_available(path: str) -> bool:
@@ -417,13 +446,18 @@ def codec_available(path: str) -> bool:
 
 def list_decodable_audio(root: str):
     """All decodable audio under ``root`` (recursive, sorted): WAV always;
-    mp3/webm when the system codec libs are present. The one corpus-
-    enumeration filter shared by the trainer, evaluator and data loaders."""
+    mp3/webm via the system codec libs; other audio containers when the
+    ffmpeg-subprocess fallback is usable (mirrors AudioCache.load's
+    decode order). The one corpus-enumeration filter shared by the
+    trainer, evaluator and data loaders."""
     import glob as _glob
+    from audio_denoising_tpu.io.ffmpeg import ffmpeg_available
+    ff = ffmpeg_available()
     return sorted(
         p for p in _glob.glob(os.path.join(root, "**", "*"), recursive=True)
         if os.path.isfile(p)
-        and (p.lower().endswith(".wav") or codec_available(p)))
+        and (p.lower().endswith(".wav") or codec_available(p)
+             or (ff and p.lower().endswith(_FFMPEG_EXTS))))
 
 
 def read_audio_codec(path: str) -> Tuple[np.ndarray, int]:

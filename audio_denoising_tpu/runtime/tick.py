@@ -96,8 +96,12 @@ class BatchingTick:
         self._inflight = []
         while not self._stop.is_set():
             try:
-                first = self.requests.get(timeout=0.02 if self._inflight
-                                          else 0.1)
+                # with a carried round pending, wait only ~one tick for
+                # fresh arrivals — blocking the usual 20-100 ms would
+                # throttle request-response-paced clients to the poll rate
+                first = self.requests.get(
+                    timeout=self.tick_s if carry
+                    else (0.02 if self._inflight else 0.1))
             except queue.Empty:
                 if carry:
                     first = None

@@ -29,10 +29,14 @@ class _FakeEngine:
 
 
 def _run_tick(engine, submits, settle=0.5):
-    tick = BatchingTick(engine, ServingMetrics(), tick_s=5e-3).start()
+    """Submit everything BEFORE starting the tick thread so the first
+    window deterministically sees all requests (submitting after start
+    races the 5 ms tick under machine load)."""
+    tick = BatchingTick(engine, ServingMetrics(), tick_s=5e-3)
     got = []
     for sid, chunk in submits:
         tick.submit(sid, chunk, lambda o: got.append(o))
+    tick.start()
     time.sleep(settle)
     tick.stop()
     return got

@@ -61,18 +61,32 @@ def _models(argv) -> int:
 def _convert(argv) -> int:
     import argparse
     p = argparse.ArgumentParser(prog="audio_denoising_tpu convert")
-    p.add_argument("pth", help="reference .pth checkpoint")
-    p.add_argument("npz", help="output .npz path")
+    p.add_argument("src", help="checkpoint (preset name, .npz or "
+                               "reference .pth)")
+    p.add_argument("out", help="output path: .npz (weights) or .onnx "
+                               "(MOMO-family single-cell export, the "
+                               "momo2_02.onnx-style artifact)")
     args = p.parse_args(argv)
+    if args.out.lower().endswith(".onnx"):
+        from audio_denoising_tpu.compat.onnx_export import export_momo_cell
+        from audio_denoising_tpu.hub import load_pretrained
+        _cfg, model, params = load_pretrained(args.src)
+        if not hasattr(model, "geo"):
+            raise SystemExit("ONNX export covers the MOMO family "
+                             "(single recurrent cell), matching the "
+                             "reference's exported artifacts")
+        export_momo_cell(model, params, args.out)
+        print(f"wrote {args.out}")
+        return 0
     from audio_denoising_tpu.compat import (
         load_torch_checkpoint, save_params_npz, state_dict_to_params)
-    ck = load_torch_checkpoint(args.pth)
+    ck = load_torch_checkpoint(args.src)
     params = state_dict_to_params(ck["model_state_dict"])
     meta = {k: v for k, v in ck.items()
             if k not in ("model_state_dict", "optimizer_state_dict",
                          "scheduler_state_dict", "state_dict")}
-    save_params_npz(args.npz, params, meta)
-    print(f"wrote {args.npz} ({len(params)} tensors)")
+    save_params_npz(args.out, params, meta)
+    print(f"wrote {args.out} ({len(params)} tensors)")
     return 0
 
 

@@ -1,0 +1,255 @@
+"""Self-contained ONNX *export* — the write half of compat/onnx.py.
+
+The reference ships torch.onnx exports of a single MOMO cell step
+(``momo2_01.onnx``/``momo2_02.onnx``, SURVEY §2 #24); compat/onnx.py
+imports and executes them. This module completes the interop both ways:
+``write_onnx`` serializes our Graph structure to ModelProto wire bytes
+(no onnx/protobuf dependency, mirroring the decoder field-for-field), and
+``export_momo_cell`` builds one MOMO2/MOMO3 cell step as a clean graph —
+explicit ``input``/``h0`` (and ``prev`` for delta) inputs and
+``output``/``hx`` state outputs, the momo2_02-style state IO — with the
+reference's node-name scheme for the core convs
+(``/cell/input_gate/downs.N/conv/Conv`` etc.) so artifacts line up
+side by side. Unlike the torch trace, the Gaussian-smearing fields are
+baked as initializers instead of re-derived with in-graph Pow/Exp chains.
+
+Round-trip contract (test-locked): write -> parse_onnx -> run_graph
+matches ``model.cell`` to float32 precision.
+"""
+
+import struct
+from typing import Any, Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from audio_denoising_tpu.compat.onnx import Graph, Node
+
+# TensorProto data types (mirrors _DTYPES in onnx.py)
+_NP_TO_ONNX = {
+    np.dtype(np.float32): 1, np.dtype(np.uint8): 2, np.dtype(np.int8): 3,
+    np.dtype(np.int32): 6, np.dtype(np.int64): 7, np.dtype(np.bool_): 9,
+    np.dtype(np.float16): 10, np.dtype(np.float64): 11,
+}
+
+
+# -- protobuf wire encoding ------------------------------------------------
+
+def _varint(v: int) -> bytes:
+    if v < 0:
+        v += 1 << 64                      # negatives: 10-byte two's complement
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _key(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    """Length-delimited field (wire type 2)."""
+    return _key(field, 2) + _varint(len(payload)) + payload
+
+
+def _vi(field: int, value: int) -> bytes:
+    return _key(field, 0) + _varint(value)
+
+
+# -- proto message encoders ------------------------------------------------
+
+def _tensor(name: str, arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr)
+    dt = _NP_TO_ONNX.get(arr.dtype)
+    if dt is None:
+        arr = arr.astype(np.float32)
+        dt = 1
+    out = b"".join(_vi(1, d) for d in arr.shape)
+    out += _vi(2, dt)
+    out += _ld(8, name.encode())
+    out += _ld(9, arr.tobytes())          # raw_data
+    return out
+
+
+def _attribute(name: str, value: Any) -> bytes:
+    out = _ld(1, name.encode())
+    if isinstance(value, np.ndarray):
+        out += _ld(5, _tensor("", value)) + _vi(20, 4)       # TENSOR
+    elif isinstance(value, bool):
+        out += _vi(3, int(value)) + _vi(20, 2)               # INT
+    elif isinstance(value, int):
+        out += _vi(3, value) + _vi(20, 2)                    # INT
+    elif isinstance(value, float):
+        out += _key(2, 5) + struct.pack("<f", value) + _vi(20, 1)
+    elif isinstance(value, str):
+        out += _ld(4, value.encode()) + _vi(20, 3)           # STRING
+    elif isinstance(value, (list, tuple)):
+        if all(isinstance(v, (int, np.integer)) for v in value):
+            out += b"".join(_vi(8, int(v)) for v in value) + _vi(20, 7)
+        else:
+            out += b"".join(_key(7, 5) + struct.pack("<f", float(v))
+                            for v in value) + _vi(20, 6)     # FLOATS
+    else:
+        raise TypeError(f"attribute {name}: {type(value)}")
+    return out
+
+
+def _node(n: Node) -> bytes:
+    out = b"".join(_ld(1, i.encode()) for i in n.inputs)
+    out += b"".join(_ld(2, o.encode()) for o in n.outputs)
+    out += _ld(3, n.name.encode())
+    out += _ld(4, n.op_type.encode())
+    out += b"".join(_ld(5, _attribute(k, v)) for k, v in n.attrs.items())
+    return out
+
+
+def _value_info(name: str, shape: Sequence[int]) -> bytes:
+    dims = b"".join(_ld(1, _vi(1, int(d))) for d in shape)
+    tensor_type = _vi(1, 1) + _ld(2, dims)      # elem_type=float32, shape
+    return _ld(1, name.encode()) + _ld(2, _ld(1, tensor_type))
+
+
+def write_onnx(graph: Graph, path: str,
+               input_shapes: Dict[str, Sequence[int]] = None,
+               output_shapes: Dict[str, Sequence[int]] = None,
+               opset: int = 17) -> str:
+    """Serialize a Graph to an ONNX ModelProto file."""
+    input_shapes = input_shapes or {}
+    g = b"".join(_ld(1, _node(n)) for n in graph.nodes)
+    g += _ld(2, b"audio_denoising_tpu")
+    g += b"".join(_ld(5, _tensor(nm, arr))
+                  for nm, arr in graph.initializers.items())
+    for nm, shape in graph.inputs:
+        g += _ld(11, _value_info(nm, shape or input_shapes.get(nm, ())))
+    for nm in graph.outputs:
+        g += _ld(12, _value_info(nm, (output_shapes or {}).get(nm, ())))
+    model = _vi(1, 8)                                  # ir_version
+    model += _ld(8, _vi(2, opset))                     # opset_import
+    model += _ld(7, g)
+    with open(path, "wb") as f:
+        f.write(model)
+    return path
+
+
+# -- MOMO cell export ------------------------------------------------------
+
+def export_momo_cell(model, params: Dict[str, Any], path: str) -> str:
+    """Export one MOMO2/MOMO3 cell step (models/momo.py:93-144) to ONNX.
+
+    Inputs: ``input`` (1, F) [+ ``prev`` (1, F) for delta models],
+    ``h0`` (1, hidden, compressed). Outputs: ``output`` (1, F), ``hx``
+    (momo2_02-style explicit state IO). Batch fixed at 1 like the
+    reference artifacts.
+    """
+    c = model.config
+    geo = model.geo
+    F = model.num_bins
+    delta = getattr(model, "delta", False)
+
+    nodes: List[Node] = []
+    inits: Dict[str, np.ndarray] = {}
+
+    def add(op, name, ins, outs, **attrs):
+        nodes.append(Node(op, name, tuple(ins), tuple(outs), attrs))
+        return outs[0]
+
+    # x image (1, C_in, F)
+    x2 = add("Unsqueeze", "/cell/Unsqueeze_x", ["input"],
+             ["x_img"], axes=[1])
+    if delta:
+        p2 = add("Unsqueeze", "/cell/Unsqueeze_prev", ["prev"],
+                 ["prev_img"], axes=[1])
+        d = add("Sub", "/cell/Sub_delta", ["input", "prev"], ["delta"])
+        d2 = add("Unsqueeze", "/cell/Unsqueeze_delta", [d], ["delta_img"],
+                 axes=[1])
+        xin = add("Concat", "/cell/Concat_xin", [x2, d2], ["xin"], axis=1)
+    else:
+        xin = x2
+
+    inits["smear_in"] = np.asarray(geo.smear_in, np.float32)[None]
+    inits["smear_hx"] = np.asarray(geo.smear_hx, np.float32)[None]
+
+    h = add("Concat", "/cell/input_gate/Concat", [xin, "smear_in"],
+            ["ig_in"], axis=1)
+    for i in range(geo.levels):
+        wname = f"cell.input_gate.downs.{i}.conv.weight"
+        bname = f"cell.input_gate.downs.{i}.conv.bias"
+        inits[wname] = np.asarray(params[wname], np.float32)
+        inits[bname] = np.asarray(params[bname], np.float32)
+        conv = add("Conv", f"/cell/input_gate/downs.{i}/conv/Conv",
+                   [h, wname, bname], [f"ig_conv{i}"],
+                   strides=[int(c.strides[i])],
+                   pads=[int(c.paddings[i])] * 2,
+                   kernel_shape=[int(c.kernel_sizes[i])])
+        h = add("Relu", f"/cell/input_gate/downs.{i}/Relu", [conv],
+                [f"ig_act{i}"])
+    skip_names = ["ig_in"] + [f"ig_act{i}" for i in range(geo.levels - 1)]
+
+    hcat = add("Concat", "/cell/reset_gate/Concat", ["h0", "smear_hx"],
+               ["rg_in"], axis=1)
+    inits["cell.reset_gate.downs.0.conv.weight"] = np.asarray(
+        params["cell.reset_gate.downs.0.conv.weight"], np.float32)
+    inits["cell.reset_gate.downs.0.conv.bias"] = np.asarray(
+        params["cell.reset_gate.downs.0.conv.bias"], np.float32)
+    rg = add("Conv", "/cell/reset_gate/downs.0/conv/Conv",
+             [hcat, "cell.reset_gate.downs.0.conv.weight",
+              "cell.reset_gate.downs.0.conv.bias"], ["rg_conv"],
+             strides=[1], pads=[1, 1], kernel_shape=[3])
+    rg = add("Relu", "/cell/reset_gate/downs.0/Relu", [rg], ["rg_act"])
+
+    hidden = geo.hidden
+    nodes.append(Node("Split", "/cell/Split_i",
+                      (f"ig_act{geo.levels - 1}",),
+                      ("i_r", "i_i", "i_n"),
+                      {"axis": 1, "split": [hidden] * 3}))
+    nodes.append(Node("Split", "/cell/Split_h", (rg,),
+                      ("h_r", "h_i", "h_n"),
+                      {"axis": 1, "split": [hidden] * 3}))
+    ig = add("Add", "/cell/Add_i", ["i_i", "h_i"], ["pre_ig"])
+    ig = add("Sigmoid", "/cell/Sigmoid", [ig], ["inputgate"])
+    rgate = add("Add", "/cell/Add_r", ["i_r", "h_r"], ["pre_rg"])
+    rgate = add("Sigmoid", "/cell/Sigmoid_1", [rgate], ["resetgate"])
+    rn = add("Mul", "/cell/Mul_rn", [rgate, "h_n"], ["r_hn"])
+    ng = add("Add", "/cell/Add_n", ["i_n", rn], ["pre_ng"])
+    ng = add("Tanh", "/cell/Tanh", [ng], ["newgate"])
+    hdiff = add("Sub", "/cell/Sub_h", ["h0", ng], ["h_minus_n"])
+    upd = add("Mul", "/cell/Mul_upd", [ig, hdiff], ["i_upd"])
+    hx = add("Add", "/cell/Add_hx", [ng, upd], ["hx"])
+
+    h = hx
+    for i in range(geo.levels):
+        wname = f"cell.output_gate.ups.{i}.conv.weight"
+        bname = f"cell.output_gate.ups.{i}.conv.bias"
+        inits[wname] = np.asarray(params[wname], np.float32)
+        inits[bname] = np.asarray(params[bname], np.float32)
+        k = int(c.kernel_sizes[::-1][i])
+        conv = add("ConvTranspose", f"/cell/output_gate/ups.{i}/conv/"
+                   "ConvTranspose",
+                   [h, wname, bname], [f"og_conv{i}"],
+                   strides=[int(c.strides[::-1][i])],
+                   pads=[int(c.paddings[::-1][i])] * 2,
+                   output_padding=[int(geo.up_output_paddings[i])],
+                   kernel_shape=[k])
+        if i != geo.levels - 1:
+            act = add("Relu", f"/cell/output_gate/ups.{i}/Relu", [conv],
+                      [f"og_act{i}"])
+            h = add("Concat", f"/cell/output_gate/ups.{i}/Concat",
+                    [act, skip_names[geo.levels - 1 - i]],
+                    [f"og_cat{i}"], axis=1)
+        else:
+            h = conv
+    add("Squeeze", "/cell/Squeeze_out", [h], ["output"], axes=[1])
+
+    inputs = [("input", (1, F))]
+    if delta:
+        inputs.append(("prev", (1, F)))
+    inputs.append(("h0", (1, hidden, geo.compressed)))
+    graph = Graph(nodes, inits, inputs, ["output", "hx"])
+    return write_onnx(graph, path,
+                      output_shapes={"output": (1, F),
+                                     "hx": (1, hidden, geo.compressed)})

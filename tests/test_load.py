@@ -219,3 +219,46 @@ class TestChurnSoak:
         assert not errors, errors
         assert daemon.engine.active_streams == 0
         assert sorted(daemon.engine._free) == [0, 1, 2, 3]
+
+
+class TestUnetDaemon:
+    """End-to-end: the trained unet4 checkpoint served through the engine
+    daemon in cadence-locked 'unet' mode over the pickle socket."""
+
+    def test_unet_mode_daemon_roundtrip(self):
+        import os
+        ckpt = os.path.join(os.path.dirname(__file__), os.pardir,
+                            "runs", "unet4-realnoise.npz")
+        if not os.path.exists(ckpt):
+            pytest.skip("trained unet4 checkpoint absent")
+        from audio_denoising_tpu.apps.engine_serve import EngineDaemon
+        d = EngineDaemon(ckpt, max_streams=2,
+                         address=("localhost", 27115), mode="unet",
+                         tick_ms=0.5)
+        t = threading.Thread(target=d.serve_forever, daemon=True)
+        t.start()
+        time.sleep(0.5)
+        try:
+            hop = d.cfg.dsp.hop_length
+            P = d.cfg.serving.unet_seg_hops
+            rng = np.random.default_rng(0)
+            with Client(("localhost", 27115)) as c:
+                c.send(("open", "u"))
+                assert c.recv()[0] == "ok"
+                outs = []
+                for _ in range(2 * P + 2):
+                    chunk = (0.1 * rng.standard_normal(hop)
+                             ).astype(np.float32)
+                    c.send(("chunk", "u", chunk))
+                    tag, sid, out = c.recv()
+                    assert tag == "out" and sid == "u"
+                    assert out.shape == (hop,)
+                    outs.append(out)
+                c.send(("close", "u"))
+                assert c.recv()[0] == "ok"
+            full = np.concatenate(outs)
+            assert np.all(np.isfinite(full))
+            # after the first full cycle drains, output becomes nonzero
+            assert np.abs(full[P * hop:]).max() > 0
+        finally:
+            d.stop()

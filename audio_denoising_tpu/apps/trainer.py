@@ -113,7 +113,11 @@ def main(argv=None) -> int:
     # would otherwise get noise resampled to the FIRST file's rate and
     # pitch-shifted against the rest
     src_sr = AudioCache.probe_rate(clean[0])
-    clean = [p for p in clean if AudioCache.probe_rate(p) == src_sr]
+    kept = [p for p in clean if AudioCache.probe_rate(p) == src_sr]
+    if len(kept) != len(clean):
+        print(f"clean corpus: keeping {len(kept)}/{len(clean)} files at "
+              f"{src_sr} Hz (mixed-rate corpus; others dropped)")
+    clean = kept
     sampler = MixtureSampler(clean, noise,
                              crop_samples=cfg.train.crop_samples,
                              batch_size=cfg.train.batch_size,

@@ -78,13 +78,26 @@ def _convert(argv) -> int:
         export_momo_cell(model, params, args.out)
         print(f"wrote {args.out}")
         return 0
-    from audio_denoising_tpu.compat import (
-        load_torch_checkpoint, save_params_npz, state_dict_to_params)
-    ck = load_torch_checkpoint(args.src)
-    params = state_dict_to_params(ck["model_state_dict"])
-    meta = {k: v for k, v in ck.items()
-            if k not in ("model_state_dict", "optimizer_state_dict",
-                         "scheduler_state_dict", "state_dict")}
+    from audio_denoising_tpu.compat import save_params_npz
+    if args.src.lower().endswith(".pth"):
+        from audio_denoising_tpu.compat import (
+            load_torch_checkpoint, state_dict_to_params)
+        ck = load_torch_checkpoint(args.src)
+        params = state_dict_to_params(ck["model_state_dict"])
+        meta = {k: v for k, v in ck.items()
+                if k not in ("model_state_dict", "optimizer_state_dict",
+                             "scheduler_state_dict", "state_dict")}
+    else:
+        # preset name or .npz (the documented src forms) resolve through
+        # the hub like every other CLI
+        import json as _json
+        import numpy as np
+        from audio_denoising_tpu.hub import load_pretrained
+        cfg, _model, jparams = load_pretrained(args.src)
+        params = {k: np.asarray(v) for k, v in jparams.items()}
+        meta = {"arch": cfg.model.arch,
+                "config": cfg.model.to_reference_dict(),
+                "full_config": _json.loads(cfg.to_json())}
     save_params_npz(args.out, params, meta)
     print(f"wrote {args.out} ({len(params)} tensors)")
     return 0

@@ -117,8 +117,14 @@ def _value_info(name: str, shape: Sequence[int]) -> bytes:
 def write_onnx(graph: Graph, path: str,
                input_shapes: Dict[str, Sequence[int]] = None,
                output_shapes: Dict[str, Sequence[int]] = None,
-               opset: int = 17) -> str:
-    """Serialize a Graph to an ONNX ModelProto file."""
+               opset: int = 12) -> str:
+    """Serialize a Graph to an ONNX ModelProto file.
+
+    Default opset is 12: the cell builder encodes Unsqueeze/Squeeze
+    ``axes`` and Split ``split`` as node ATTRIBUTES, the pre-opset-13
+    form — declaring a later opset would make the artifact spec-invalid
+    for conformant runtimes (opset 13 moved those to inputs). Pass the
+    source model's opset when re-serializing a parsed graph."""
     input_shapes = input_shapes or {}
     g = b"".join(_ld(1, _node(n)) for n in graph.nodes)
     g += _ld(2, b"audio_denoising_tpu")
@@ -162,8 +168,6 @@ def export_momo_cell(model, params: Dict[str, Any], path: str) -> str:
     x2 = add("Unsqueeze", "/cell/Unsqueeze_x", ["input"],
              ["x_img"], axes=[1])
     if delta:
-        p2 = add("Unsqueeze", "/cell/Unsqueeze_prev", ["prev"],
-                 ["prev_img"], axes=[1])
         d = add("Sub", "/cell/Sub_delta", ["input", "prev"], ["delta"])
         d2 = add("Unsqueeze", "/cell/Unsqueeze_delta", [d], ["delta_img"],
                  axes=[1])

@@ -404,6 +404,7 @@ def _has_opus_track(path: str, scan_bytes: int = 8 << 20) -> bool:
             data = f.read(scan_bytes)
     except OSError:
         return False
+    truncated = len(data) == scan_bytes
     try:
         for eid, s, e in _walk(data, 0, len(data)):
             if eid != _SEGMENT:
@@ -419,9 +420,12 @@ def _has_opus_track(path: str, scan_bytes: int = 8 << 20) -> bool:
                                 data[fs:fe].rstrip(b"\x00") == b"A_OPUS":
                             return True
                 return False          # Tracks parsed, no Opus entry
-        return False
+        # no Tracks found: a clamped walk over a truncated head exits
+        # cleanly (child spans clamp to the scan boundary), so 'not
+        # found' is only authoritative when we saw the WHOLE file
+        return b"A_OPUS" in data if truncated else False
     except Exception:
-        # truncated/odd structure: degrade to the substring heuristic
+        # odd structure: degrade to the substring heuristic
         return b"A_OPUS" in data
 
 
@@ -446,18 +450,22 @@ def codec_available(path: str) -> bool:
 
 def list_decodable_audio(root: str):
     """All decodable audio under ``root`` (recursive, sorted): WAV always;
-    mp3/webm via the system codec libs; other audio containers when the
-    ffmpeg-subprocess fallback is usable (mirrors AudioCache.load's
-    decode order). The one corpus-enumeration filter shared by the
-    trainer, evaluator and data loaders."""
+    mp3/webm via the system codec libs; any compressed audio container —
+    INCLUDING mp3/webm/mkv when the codec libs are absent or the Matroska
+    file carries a non-Opus track — when the ffmpeg-subprocess fallback
+    is usable (mirrors AudioCache.load's decode order). The one corpus-
+    enumeration filter shared by the trainer, evaluator and data
+    loaders."""
     import glob as _glob
     from audio_denoising_tpu.io.ffmpeg import ffmpeg_available
     ff = ffmpeg_available()
+    ff_exts = _FFMPEG_EXTS + (".mp3", ".mp2", ".mpga", ".webm", ".mkv",
+                              ".weba")
     return sorted(
         p for p in _glob.glob(os.path.join(root, "**", "*"), recursive=True)
         if os.path.isfile(p)
         and (p.lower().endswith(".wav") or codec_available(p)
-             or (ff and p.lower().endswith(_FFMPEG_EXTS))))
+             or (ff and p.lower().endswith(ff_exts))))
 
 
 def read_audio_codec(path: str) -> Tuple[np.ndarray, int]:

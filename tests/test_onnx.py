@@ -129,7 +129,9 @@ class TestOnnxExport:
         from audio_denoising_tpu.compat.onnx_export import write_onnx
         g1 = parse_onnx(src)
         p = str(tmp_path / "rewrite.onnx")
-        write_onnx(g1, p, input_shapes={n: s or () for n, s in g1.inputs})
+        # the torch export uses the input-form axes ops -> opset 13+
+        write_onnx(g1, p, input_shapes={n: s or () for n, s in g1.inputs},
+                   opset=17)
         g2 = parse_onnx(p)
         assert [n.op_type for n in g2.nodes] == [n.op_type for n in g1.nodes]
         feeds = {n: rng.standard_normal(s).astype(np.float32)

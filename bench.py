@@ -148,7 +148,10 @@ def main() -> None:
           f"({p50 / N_STREAMS * 1e3:.1f}us/stream); "
           f"with-host-materialization={host_ms:.3f}ms/hop "
           f"pipelined-materialization={host_pipe_ms:.3f}ms/hop "
-          f"(dominated by the chip attachment's d2h on relayed setups)",
+          f"(dominated by the chip attachment's d2h on relayed setups); "
+          f"vs_baseline caveat: numerator is the reference's MODEL-ONLY "
+          f"torch-CPU floor (8.3 ms), denominator our FULL pipeline step "
+          f"(STFT+model+iSTFT) — the comparison favors us by construction",
           file=sys.stderr)
 
     # Extra variant rows (stderr; ADT_BENCH_VARIANTS=1): bf16 fast hop,

@@ -51,6 +51,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--crop-samples", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--lr-gamma", type=float, default=None,
+                   help="per-1000-step exponential LR decay rate "
+                        "(reference: 0.9; long runs want gentler, e.g. "
+                        "0.97, or the LR hits ~0 long before the end)")
     p.add_argument("--noise-gain", type=float, nargs=2, default=(0.2, 1.0),
                    metavar=("LO", "HI"),
                    help="uniform noise gain range per mixture")
@@ -69,6 +73,8 @@ def main(argv=None) -> int:
         overrides["crop_samples"] = args.crop_samples
     if args.lr:
         overrides["learning_rate"] = args.lr
+    if args.lr_gamma:
+        overrides["lr_gamma"] = args.lr_gamma
     if overrides:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **overrides))

@@ -34,6 +34,14 @@ def evaluate(spec: str, data_dir: str, n_examples: int = 16,
         log_spectral_distance, si_sdr_db, snr_db)
 
     cfg, model, params = load_pretrained(spec)
+    # Stateless U-Nets always reconstruct via noisy-phase iSTFT
+    # (pipeline.offline_denoise_stateless); a GL override would be
+    # silently ignored and then misattributed in the report.
+    stateless = not hasattr(model, "init_state")
+    if stateless and (reconstruction is not None or gl_iters is not None):
+        raise ValueError(
+            f"{spec} is a stateless U-Net: reconstruction is fixed to "
+            "noisy-phase iSTFT; --reconstruction/--gl-iters do not apply")
     if reconstruction is not None or gl_iters is not None:
         dsp = dataclasses.replace(
             cfg.dsp,
@@ -100,7 +108,7 @@ def evaluate(spec: str, data_dir: str, n_examples: int = 16,
         "noise_gain": noise_gain,
         "noise_source": (os.path.basename(os.path.normpath(noise_dir))
                          if noise_dir else "synthetic white+brown"),
-        "reconstruction": cfg.dsp.reconstruction,
+        "reconstruction": ("phase" if stateless else cfg.dsp.reconstruction),
         "input_si_sdr_db": round(float(si_sdr_db(cl, mix).mean()), 3),
         "output_si_sdr_db": round(float(si_sdr_db(cl, est).mean()), 3),
         "input_snr_db": round(float(snr_db(cl, mix).mean()), 3),

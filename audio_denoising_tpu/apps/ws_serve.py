@@ -11,12 +11,19 @@ Protocol per connection (one connection == one stream):
   length (hop-quantized; the residue flushes with the next chunk);
 - TEXT frame "stats" returns a JSON stats message; close frame ends.
 
+A plain HTTP ``GET /`` on the same port serves the browser mic client
+(apps/static/index.html: getUserMedia -> AudioWorklet -> int16 PCM WS
+frames -> denoised playback) — the end-to-end equivalent of the
+reference's streamlit-webrtc flagship UX (app2.py:479-492): open the
+page, grant mic, hear denoised audio.
+
 All connections multiplex onto ONE batched StreamEngine: every tick
 advances every active stream in a single jitted launch.
 """
 
 import argparse
 import json
+import os
 import queue
 import socket
 import threading
@@ -62,11 +69,16 @@ def _make_chunker(hop: int):
     return _PyChunker(hop)
 
 
+_STATIC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "static")
+
+
 class WSDaemon:
     def __init__(self, spec: str = "gruunet2-good", host: str = "localhost",
                  port: int = 8765, max_streams: int = 256,
                  mode: str = "fast", tick_ms: float = 1.0,
                  pipeline_depth: int = 2):
+        self.spec = spec
         self.cfg, self.model, self.params = load_pretrained(spec)
         self.engine = StreamEngine(self.cfg, self.model, self.params,
                                    mode=mode, max_streams=max_streams)
@@ -80,13 +92,41 @@ class WSDaemon:
         self._stop = threading.Event()
         self._srv: socket.socket = None
 
+    # -- browser client page -------------------------------------------------
+    def client_page(self) -> bytes:
+        """The mic client HTML with this daemon's DSP params substituted."""
+        with open(os.path.join(_STATIC_DIR, "index.html"), "rb") as f:
+            page = f.read()
+        return (page
+                .replace(b"__SAMPLE_RATE__",
+                         str(self.cfg.dsp.sample_rate).encode())
+                .replace(b"__HOP__", str(self.hop).encode())
+                .replace(b"__MODEL__", self.spec.encode()))
+
+    def _serve_http(self, method, path, _headers, sock):
+        """Plain-HTTP fallback on the WS port: GET / -> the mic client."""
+        if method != "GET":
+            sock.sendall(b"HTTP/1.1 405 Method Not Allowed\r\n"
+                         b"Allow: GET\r\nContent-Length: 0\r\n\r\n")
+            return
+        if path.split("?")[0] not in ("/", "/index.html"):
+            sock.sendall(b"HTTP/1.1 404 Not Found\r\n"
+                         b"Content-Length: 0\r\n\r\n")
+            return
+        body = self.client_page()
+        sock.sendall(b"HTTP/1.1 200 OK\r\n"
+                     b"Content-Type: text/html; charset=utf-8\r\n"
+                     b"Cache-Control: no-store\r\n"
+                     b"Content-Length: " + str(len(body)).encode()
+                     + b"\r\nConnection: close\r\n\r\n" + body)
+
     # -- per-connection ------------------------------------------------------
     def _handle(self, raw_conn: socket.socket):
         sid = uuid.uuid4().hex
         conn = raw_conn
         closed = threading.Event()   # terminates the sender thread
         try:
-            hs = ws.handshake(raw_conn)
+            hs = ws.handshake(raw_conn, http_handler=self._serve_http)
             if hs is None:
                 return
             _path, leftover = hs

@@ -137,8 +137,9 @@ class ServingConfig:
     # runs the full U-Net once over [ctx | seg | ctx] samples and emits the
     # middle seg over the next cycle (the reference never streams unet4 —
     # unet4.py:147-194 is offline-only — so these semantics are ours).
-    # Latency = seg + 2*ctx samples; ctx covers the iSTFT edge taper and
-    # gives the conv stack real left/right context at segment joins.
+    # Latency = seg + ctx samples (ctx is the lookahead component; see
+    # pipeline.make_unet_stream_step); ctx covers the iSTFT edge taper
+    # and gives the conv stack real left/right context at segment joins.
     unet_seg_hops: int = 16
     unet_ctx_samples: int = 960
 

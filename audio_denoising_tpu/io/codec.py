@@ -125,9 +125,18 @@ def read_mp3(path: str) -> Tuple[np.ndarray, int]:
             if rc == _MPG123_DONE:
                 break
             if rc == _MPG123_NEW_FORMAT:
+                old_rate, old_ch = rate.value, channels.value
                 lib.mpg123_getformat(h, ctypes.byref(rate),
                                      ctypes.byref(channels),
                                      ctypes.byref(enc))
+                if chunks and (rate.value != old_rate
+                               or channels.value != old_ch):
+                    # a mid-stream format switch would silently concat
+                    # old-rate and new-rate PCM under one returned rate
+                    raise RuntimeError(
+                        f"mid-stream format change ({old_rate} Hz/{old_ch}ch"
+                        f" -> {rate.value} Hz/{channels.value}ch) in "
+                        f"{path!r}; refusing to concatenate")
                 continue
             if rc != _MPG123_OK:
                 raise RuntimeError(f"mpg123_read failed ({rc}) on {path!r}")

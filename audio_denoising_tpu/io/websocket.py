@@ -68,7 +68,8 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
 
 
 def handshake(sock: socket.socket,
-              timeout: Optional[float] = 10.0) -> Optional[Tuple[str, bytes]]:
+              timeout: Optional[float] = 10.0,
+              http_handler=None) -> Optional[Tuple[str, bytes]]:
     """Perform the server side of the HTTP->WS upgrade. Returns
     ``(request_path, leftover_bytes)`` — leftover is anything the client
     pipelined behind the upgrade request (wrap the socket in ``Buffered``
@@ -76,7 +77,12 @@ def handshake(sock: socket.socket,
 
     ``timeout`` bounds the handshake phase only (cleared on success): a
     client that connects and sends nothing — or dribbles bytes — would
-    otherwise pin a daemon thread forever (slowloris)."""
+    otherwise pin a daemon thread forever (slowloris).
+
+    ``http_handler(method, path, headers, sock)``: optional hook for plain
+    HTTP requests (no upgrade headers) — lets the daemon serve its browser
+    client page on the same port. The hook writes the full HTTP response
+    itself; handshake then returns None (connection is done)."""
     if timeout is not None:
         sock.settimeout(timeout)
     data = b""
@@ -104,7 +110,11 @@ def handshake(sock: socket.socket,
             headers[k.strip().lower()] = v.strip()
     key = headers.get("sec-websocket-key")
     if key is None or "upgrade" not in headers.get("connection", "").lower():
-        sock.sendall(b"HTTP/1.1 400 Bad Request\r\n\r\n")
+        if http_handler is not None:
+            method = lines[0].split(" ")[0] if lines[0] else ""
+            http_handler(method, path, headers, sock)
+        else:
+            sock.sendall(b"HTTP/1.1 400 Bad Request\r\n\r\n")
         return None
     if headers.get("sec-websocket-version", "13") != "13":
         # RFC 6455 §4.2.2: unsupported version -> 426 with the versions

@@ -173,7 +173,11 @@ def make_unet_stream_step(cfg: Config, model):
     segments are contiguous in sample time (the ring advances exactly
     ``seg`` per cycle); the flanking ``ctx`` samples give the conv stack
     real context at joins and absorb the iSTFT edge taper. End-to-end
-    latency is ``seg + 2*ctx`` samples. The heavy branch sits under
+    latency is ``seg + ctx`` samples per emitted sample (the emitted
+    middle slice lags the newest input by ``ctx`` — the lookahead — and
+    drains over the following ``seg`` samples; the repo's
+    test_zero_model_delay_is_identity asserts exactly this delay). The
+    heavy branch sits under
     ``lax.cond`` so non-boundary ticks cost only the ring shift.
     """
     hop, seg_hops, seg, ctx = _unet_stream_geometry(cfg)

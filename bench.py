@@ -5,11 +5,14 @@ Measures p50 wall time of ONE fully-jitted serving step that advances
 saves/GRUUNet2-good/checkpoint.pth, phase-reuse reconstruction — the
 reference's latency-optimal server.py path). Prints ONE JSON line.
 
-Baseline: the reference implementation measured in this environment
-(torch CPU, SURVEY §6) takes 8.3 ms for the model alone at batch=256 —
-vs_baseline is that divided by our full-pipeline step time (>1 = faster
-than the reference floor while doing strictly more work: STFT front-end,
-inverse mel and iSTFT are included here, excluded there).
+Baseline: the reference's FULL equivalent chain measured in this
+environment (torch CPU, idle machine, tools/ref_baseline.py): the
+server.py:207-216 phase-reuse pipeline — STFT + mel + log1p + model +
+inverse-mel lstsq + noisy-phase iSTFT — takes 33.7 ms per hop at
+batch=256. vs_baseline divides that by our full-pipeline step time:
+both sides run the complete analysis/model/synthesis chain, so >1 means
+genuinely faster at the same work. (The reference's model-only floor,
+8.3 ms, is reported to stderr as a labeled secondary.)
 
 Extra context (non-headline) goes to stderr.
 """
@@ -24,7 +27,8 @@ import numpy as np
 N_STREAMS = 256
 SR = 16000
 HOP_MS = 20.0
-REF_MODEL_ONLY_MS = 8.3  # measured reference floor, BASELINE.md
+REF_FULL_CHAIN_MS = 33.7   # reference server.py full chain, BASELINE.md
+REF_MODEL_ONLY_MS = 8.3    # reference model-only floor (secondary)
 
 
 def main() -> None:
@@ -149,9 +153,11 @@ def main() -> None:
           f"with-host-materialization={host_ms:.3f}ms/hop "
           f"pipelined-materialization={host_pipe_ms:.3f}ms/hop "
           f"(dominated by the chip attachment's d2h on relayed setups); "
-          f"vs_baseline caveat: numerator is the reference's MODEL-ONLY "
-          f"torch-CPU floor (8.3 ms), denominator our FULL pipeline step "
-          f"(STFT+model+iSTFT) — the comparison favors us by construction",
+          f"vs_baseline: reference FULL server.py chain "
+          f"({REF_FULL_CHAIN_MS} ms/hop @256, tools/ref_baseline.py) over "
+          f"our full step — apples-to-apples; vs the reference's "
+          f"model-only floor ({REF_MODEL_ONLY_MS} ms) the ratio is "
+          f"{REF_MODEL_ONLY_MS / p50:.1f}x",
           file=sys.stderr)
 
     # Extra variant rows (stderr; ADT_BENCH_VARIANTS=1): bf16 fast hop,
@@ -164,7 +170,7 @@ def main() -> None:
         "metric": "p50_ms_per_20ms_hop_256_streams",
         "value": round(p50, 4),
         "unit": "ms",
-        "vs_baseline": round(REF_MODEL_ONLY_MS / p50, 3),
+        "vs_baseline": round(REF_FULL_CHAIN_MS / p50, 3),
     }))
 
 

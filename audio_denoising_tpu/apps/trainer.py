@@ -58,6 +58,16 @@ def main(argv=None) -> int:
     p.add_argument("--noise-gain", type=float, nargs=2, default=(0.2, 1.0),
                    metavar=("LO", "HI"),
                    help="uniform noise gain range per mixture")
+    p.add_argument("--objective", default=None,
+                   choices=["residual_mse", "recon_mrstft"],
+                   help="recon_mrstft trains through the full phase-reuse "
+                        "reconstruction against a multi-resolution STFT + "
+                        "waveform objective (round-3 quality attack)")
+    p.add_argument("--snr-range", type=float, nargs=2, default=None,
+                   metavar=("LO_DB", "HI_DB"),
+                   help="SNR-targeted mixture curriculum (device-data "
+                        "path): per-mixture noise gain solved to hit a "
+                        "uniform SNR in [lo, hi] dB")
     p.add_argument("--noise-dir", default=None,
                    help="extra noise corpus (wav/mp3/webm via io/codec.py) "
                         "in addition to <data>/noise; crops are resampled "
@@ -75,9 +85,21 @@ def main(argv=None) -> int:
         overrides["learning_rate"] = args.lr
     if args.lr_gamma:
         overrides["lr_gamma"] = args.lr_gamma
+    if args.objective:
+        overrides["objective"] = args.objective
+    if args.snr_range:
+        overrides["snr_range_db"] = tuple(args.snr_range)
     if overrides:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **overrides))
+    if args.objective == "recon_mrstft":
+        # trained through the reconstruction, the model is level-
+        # calibrated: the preset's x3 serving gain / 0.9 state decay are
+        # compensations for the reference weights' under-suppression
+        # (server.py:213-214) and would mis-level this checkpoint
+        cfg = dataclasses.replace(
+            cfg, serving=dataclasses.replace(
+                cfg.serving, output_gain=1.0, state_decay=1.0))
     model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
     if args.resume:
         ctx = TrainingContext.load(args.resume, cfg, model)

@@ -160,6 +160,20 @@ class TrainConfig:
     loss_metric_eval: str = "MAE"
     target_name: str = "clamped mel-spectrogram"
     seed: int = 0
+    # Objective: 'residual_mse' is the reference contract (MSE on the
+    # feature-domain residual). 'recon_mrstft' trains THROUGH the full
+    # differentiable phase-reuse reconstruction (the same chain the
+    # offline/eval path runs) against a multi-resolution STFT +
+    # waveform-L1 + residual-MSE composite (train/losses.py) — the
+    # round-3 attack on the residual-MSE quality ceiling.
+    objective: str = "residual_mse"
+    mrstft_weight: float = 1.0
+    wave_l1_weight: float = 10.0      # waveforms live in [-1,1]
+    residual_aux_weight: float = 0.05
+    # Curriculum: when set, per-mixture noise gain targets a uniform SNR
+    # in [lo, hi] dB (computed from crop energies on device) instead of
+    # the uniform amplitude gain — evens difficulty across the batch.
+    snr_range_db: Optional[Tuple[float, float]] = None
 
 
 @dataclass(frozen=True)
@@ -186,7 +200,11 @@ class Config:
                 for k, v in d.get("model", {}).items()
             }),
             serving=ServingConfig(**d.get("serving", {})),
-            train=TrainConfig(**d.get("train", {})),
+            train=TrainConfig(**{
+                k: (tuple(v) if k == "snr_range_db" and v is not None
+                    else v)
+                for k, v in d.get("train", {}).items()
+            }),
         )
 
 
@@ -226,6 +244,20 @@ PRESETS: Dict[str, Config] = {
         dsp=DSPConfig(n_fft=480, hop_length=384, n_mels=241, domain="raw",
                       reconstruction="phase"),
         model=ModelConfig(arch="UNet2d4"),
+    ),
+    # TRUNet live (round 3): the vendored model's 257-bin per-frame
+    # contract (reference trunet.py:122-158) fixes n_fft = 512
+    # (n_stft = 257); 16 kHz is the TRU-Net paper's rate. Raw domain,
+    # noisy-phase reconstruction; streams via engine mode 'unet'
+    # (stateless cadence-locked segments). The reference ships no TRUNet
+    # weights and never wires the model to audio — featurization is ours
+    # (models/trunet.py TRUNetDenoiser).
+    "trunet16k": Config(
+        dsp=DSPConfig(sample_rate=16000, n_fft=512, hop_length=256,
+                      n_mels=257, domain="raw", reconstruction="phase"),
+        model=ModelConfig(arch="TRUNetDenoiser"),
+        train=TrainConfig(batch_size=16, crop_samples=16000,
+                          target_name="clamped raw-spectrogram"),
     ),
     # The MOMO3 checkpoint's own metadata says last_target_name =
     # 'clamped raw-spectrogram' (saves/MOMO3-4d4ea0/checkpoint.pth) and its

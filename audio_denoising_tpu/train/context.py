@@ -119,10 +119,45 @@ class TrainingContext:
         return plan_apply_parallel(plan, x, hx)
 
     def _loss(self, params, mixture, clean, loss_fn, dropout_rng=None):
+        if self.cfg.train.objective == "recon_mrstft":
+            return self._loss_recon(params, mixture, clean, dropout_rng)
         x = self.features(mixture)           # (B, T, M) noisy input
         target = x - self.features(clean)    # residual target (noisy - clean)
         pred, _ = self._forward(params, x, dropout_rng=dropout_rng)
         return loss_fn(pred, target)
+
+    def _loss_recon(self, params, mixture, clean, dropout_rng=None):
+        """Train THROUGH the serving reconstruction (objective
+        'recon_mrstft'): run the same differentiable phase-reuse chain the
+        offline/eval path uses (pipeline.offline_denoise semantics — STFT,
+        features, model residual, leaky_relu(0.2) subtract, expm1,
+        inverse-mel, noisy-phase iSTFT) and score the denoised WAVEFORM
+        against clean with multi-resolution STFT + waveform L1, plus the
+        contract's residual MSE as a stabilizing auxiliary. The residual
+        objective cannot see past the model (inverse-mel loss, synthesis);
+        this one scores exactly what evaluation measures."""
+        from audio_denoising_tpu.ops import istft
+        from audio_denoising_tpu.pipeline import (
+            _to_features, _to_linear, _transforms)
+        from audio_denoising_tpu.train.losses import multi_res_stft
+
+        tr, dsp = self.cfg.train, self.cfg.dsp
+        fb, inv, win = _transforms(self.cfg)
+        length = mixture.shape[-1]
+        spec = stft(mixture, dsp.n_fft, dsp.hop_length, dsp.win, window=win)
+        mag = jnp.abs(spec)
+        x = jnp.swapaxes(_to_features(self.cfg, mag, fb), -1, -2)  # (B,T,M)
+        pred, _ = self._forward(params, x, dropout_rng=dropout_rng)
+        recon = jax.nn.leaky_relu(x - pred, negative_slope=0.2)
+        lin = _to_linear(self.cfg, jnp.swapaxes(recon, -1, -2), inv)
+        est = istft(lin * jnp.exp(1j * jnp.angle(spec)), dsp.n_fft,
+                    dsp.hop_length, dsp.win, window=win, length=length)
+
+        target = x - self.features(clean)
+        loss = (tr.mrstft_weight * multi_res_stft(est, clean)
+                + tr.wave_l1_weight * jnp.mean(jnp.abs(est - clean))
+                + tr.residual_aux_weight * jnp.mean((pred - target) ** 2))
+        return loss
 
     def _train_step_impl(self, state: TrainState, mixture, clean):
         # per-step dropout key derived from the step counter: stateless,
@@ -174,7 +209,7 @@ class TrainingContext:
 
     def fit_on_device(self, corpus, iters: int, steps_per_dispatch: int = 10,
                       log_every: int = 0, seed: int = 0, noise_corpus=None,
-                      noise_gain=(0.2, 1.0)):
+                      noise_gain=(0.2, 1.0), snr_range_db=None):
         """Fully device-resident training (train/device_data.py): batch
         synthesis + K train steps per dispatch; per-dispatch host traffic
         is one key in, K loss scalars out. The corpus buffers ride as jit
@@ -184,10 +219,13 @@ class TrainingContext:
         import functools
         from audio_denoising_tpu.train.device_data import make_device_sampler
 
+        if snr_range_db is None:
+            snr_range_db = self.cfg.train.snr_range_db
         sample = make_device_sampler(corpus, self.cfg.train.crop_samples,
                                      self.cfg.train.batch_size,
                                      noise_gain=tuple(noise_gain),
-                                     noise_corpus=noise_corpus)
+                                     noise_corpus=noise_corpus,
+                                     snr_range_db=snr_range_db)
         K = steps_per_dispatch
         buf = corpus.buffer
         nbuf = noise_corpus.buffer if noise_corpus is not None else None

@@ -76,7 +76,8 @@ class DeviceCorpus:
 def make_device_sampler(corpus: DeviceCorpus, crop_samples: int,
                         batch_size: int,
                         noise_gain: Tuple[float, float] = (0.2, 1.0),
-                        noise_corpus: "DeviceCorpus" = None):
+                        noise_corpus: "DeviceCorpus" = None,
+                        snr_range_db: Tuple[float, float] = None):
     """-> jittable ``sample(key, buf[, noise_buf]) -> (mixture, clean)``,
     both (batch, crop_samples), computed entirely on device.
 
@@ -85,7 +86,15 @@ def make_device_sampler(corpus: DeviceCorpus, crop_samples: int,
     by the compiler/runtime, while an argument is guaranteed device-
     resident across calls. ``noise_corpus`` switches the noise source from
     the synthetic white+brown mixture to random crops of a real noise
-    buffer (the reference's kaggle corpus decodes via io/codec.py)."""
+    buffer (the reference's kaggle corpus decodes via io/codec.py).
+
+    ``snr_range_db``: SNR-targeted curriculum (round 3). When set, each
+    mixture's noise gain is solved from the crop energies to hit a
+    uniform target SNR in [lo, hi] dB, instead of a uniform amplitude
+    gain — the batch then covers easy AND hard conditions evenly rather
+    than whatever SNR the corpus energies happen to produce. Gain is
+    clamped to [0.02, 6] so silent clean crops still carry audible noise
+    and loud noise crops cannot blow past the clip."""
     n = int(corpus.buffer.shape[0])
     assert n >= crop_samples, "corpus shorter than one crop"
     n_noise = (int(noise_corpus.buffer.shape[0])
@@ -118,9 +127,19 @@ def make_device_sampler(corpus: DeviceCorpus, crop_samples: int,
             noise = noise / jnp.maximum(
                 jnp.max(jnp.abs(noise), axis=-1, keepdims=True), 1e-6)
 
-        lo, hi = noise_gain
-        gain = jax.random.uniform(k_gain, (batch_size, 1), minval=lo,
-                                  maxval=hi)
+        if snr_range_db is not None:
+            snr = jax.random.uniform(k_gain, (batch_size, 1),
+                                     minval=snr_range_db[0],
+                                     maxval=snr_range_db[1])
+            e_c = jnp.mean(clean ** 2, axis=-1, keepdims=True)
+            e_n = jnp.mean(noise ** 2, axis=-1, keepdims=True)
+            gain = jnp.sqrt(e_c / jnp.maximum(e_n, 1e-10)) \
+                * 10.0 ** (-snr / 20.0)
+            gain = jnp.clip(gain, 0.02, 6.0)
+        else:
+            lo, hi = noise_gain
+            gain = jax.random.uniform(k_gain, (batch_size, 1), minval=lo,
+                                      maxval=hi)
         mixture = jnp.clip(clean + gain * noise, -1.0, 1.0)
         return mixture.astype(jnp.float32), clean.astype(jnp.float32)
 

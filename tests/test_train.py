@@ -266,3 +266,123 @@ class TestDeviceRealNoise:
         diff = np.asarray(m - c)
         inside = np.abs(np.asarray(c)) < 0.7
         np.testing.assert_allclose(diff[inside], 0.25, atol=1e-6)
+
+
+class TestReconObjective:
+    """Round-3 quality attack: recon_mrstft trains through the full
+    differentiable phase-reuse reconstruction (VERDICT r2 task 3)."""
+
+    def _cfg(self):
+        import dataclasses
+        return dataclasses.replace(CFG, train=dataclasses.replace(
+            CFG.train, objective="recon_mrstft", learning_rate=3e-3))
+
+    def test_mrstft_loss_properties(self):
+        from audio_denoising_tpu.train.losses import multi_res_stft
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.standard_normal((2, 4096)), jnp.float32) * 0.3
+        b = jnp.asarray(rng.standard_normal((2, 4096)), jnp.float32) * 0.3
+        res = ((256, 64), (512, 128))
+        zero = float(multi_res_stft(a, a, res))
+        far = float(multi_res_stft(a, b, res))
+        near = float(multi_res_stft(a, a + 0.01 * b, res))
+        assert zero < 1e-4          # identical signals -> ~0
+        assert near < far           # closer waveform -> smaller loss
+        # differentiable end to end
+        g = jax.grad(lambda x: multi_res_stft(x, b, res))(a)
+        assert np.isfinite(np.asarray(g)).all() and np.abs(g).max() > 0
+
+    def test_recon_objective_loss_decreases(self):
+        cfg = self._cfg()
+        model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+        ctx = TrainingContext(cfg, model, seed=0)
+        sampler = _sampler()
+        losses = []
+        for i, (m, c) in enumerate(sampler):
+            if i >= 25:
+                break
+            losses.append(ctx.train_step(m, c))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+    def test_recon_objective_saved_in_checkpoint(self, tmp_path):
+        cfg = self._cfg()
+        model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+        ctx = TrainingContext(cfg, model, seed=0)
+        sampler = _sampler()
+        m, c = sampler.sample()
+        ctx.train_step(m, c)
+        path = str(tmp_path / "recon.npz")
+        ctx.save(path)
+        from audio_denoising_tpu.compat.npz_store import load_params_npz
+        _params, meta = load_params_npz(path)
+        assert meta["full_config"]["train"]["objective"] == "recon_mrstft"
+
+
+class TestSNRCurriculum:
+    def test_snr_targeted_gains(self, rng):
+        """snr_range_db solves the per-mixture gain so measured SNR hits
+        the drawn target (away from the clip and the gain clamp)."""
+        from audio_denoising_tpu.train.device_data import (
+            DeviceCorpus, make_device_sampler)
+        buf = jnp.asarray(0.3 * np.sin(np.arange(60000) / 8.0), jnp.float32)
+        nbuf = jnp.asarray(0.2 * rng.standard_normal(50000), jnp.float32)
+        corpus = DeviceCorpus(buf, 48000)
+        noise = DeviceCorpus(nbuf, 48000)
+        sample = jax.jit(make_device_sampler(
+            corpus, 4000, 16, noise_corpus=noise, snr_range_db=(5.0, 5.0)))
+        m, c = sample(jax.random.PRNGKey(1), buf, nbuf)
+        n = np.asarray(m - c)
+        cl = np.asarray(c)
+        snr = 10 * np.log10(np.mean(cl ** 2, -1) / np.mean(n ** 2, -1))
+        # all mixtures near the 5 dB target (clip distortion is tiny here)
+        assert np.all(np.abs(snr - 5.0) < 0.7), snr
+
+    def test_snr_range_spreads(self, rng):
+        from audio_denoising_tpu.train.device_data import (
+            DeviceCorpus, make_device_sampler)
+        buf = jnp.asarray(0.3 * np.sin(np.arange(60000) / 8.0), jnp.float32)
+        nbuf = jnp.asarray(0.2 * rng.standard_normal(50000), jnp.float32)
+        sample = jax.jit(make_device_sampler(
+            DeviceCorpus(buf, 48000), 4000, 32,
+            noise_corpus=DeviceCorpus(nbuf, 48000),
+            snr_range_db=(-10.0, 15.0)))
+        m, c = sample(jax.random.PRNGKey(2), buf, nbuf)
+        n = np.asarray(m - c)
+        snr = 10 * np.log10(np.mean(np.asarray(c) ** 2, -1)
+                            / np.mean(n ** 2, -1))
+        assert snr.min() < -4 and snr.max() > 9   # spread covers the range
+
+
+class TestTRUNetTraining:
+    """TRUNet live (round 3): the TRUNetDenoiser adapter trains through
+    the standard stateless path and round-trips its checkpoint."""
+
+    def test_trunet_train_step_and_roundtrip(self, tmp_path):
+        import dataclasses
+        from audio_denoising_tpu.config import PRESETS
+        cfg = PRESETS["trunet16k"]
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, batch_size=2, crop_samples=4096))
+        model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+        ctx = TrainingContext(cfg, model, seed=0)
+        rng = np.random.default_rng(0)
+        losses = []
+        for i in range(4):
+            clean = 0.3 * np.sin(np.arange(2 * 4096).reshape(2, 4096)
+                                 / (4.0 + i)).astype(np.float32)
+            mix = np.clip(clean + 0.3 * rng.standard_normal(
+                (2, 4096)).astype(np.float32), -1, 1)
+            losses.append(ctx.train_step(mix, clean))
+        assert np.isfinite(losses).all()
+        path = str(tmp_path / "trunet.npz")
+        ctx.save(path)
+        from audio_denoising_tpu.hub import load_pretrained
+        cfg2, model2, params2 = load_pretrained(path)
+        assert cfg2.model.arch == "TRUNetDenoiser"
+        assert cfg2.dsp.n_stft == 257
+        # the loaded checkpoint denoises through the stateless pipeline
+        from audio_denoising_tpu.apps.offline import denoise_array
+        out = denoise_array(cfg2, model2, params2,
+                            np.zeros(4096, np.float32) + 0.01, 16000)
+        assert out.shape == (4096,) and np.isfinite(out).all()

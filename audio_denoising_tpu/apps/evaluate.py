@@ -125,12 +125,145 @@ def evaluate(spec: str, data_dir: str, n_examples: int = 16,
     return report
 
 
+def _bootstrap_ci(x: np.ndarray, n_boot: int = 2000, seed: int = 0,
+                  alpha: float = 0.05):
+    """Percentile bootstrap 95% CI of the mean -> (lo, hi)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, len(x), size=(n_boot, len(x)))
+    means = x[idx].mean(axis=1)
+    return (float(np.percentile(means, 100 * alpha / 2)),
+            float(np.percentile(means, 100 * (1 - alpha / 2))))
+
+
+def _stat(x: np.ndarray, n_boot: int = 2000, seed: int = 0):
+    lo, hi = _bootstrap_ci(x, n_boot, seed)
+    return {"mean": round(float(x.mean()), 3), "n": int(len(x)),
+            "ci95": [round(lo, 3), round(hi, 3)]}
+
+
+def build_manifest_set(manifest: dict):
+    """Deterministically synthesize the manifest's mixtures.
+
+    The manifest freezes {data_dir, noise_dir, crop_seconds, blocks}
+    where each block is {seed, noise_gain, n}: every (mixture, clean)
+    pair is reproducible because MixtureSampler is seeded and the corpus
+    listing is sorted. Returns (mixture[B,T], clean[B,T], gains[B], sr).
+    """
+    from audio_denoising_tpu.io.cache import AudioCache
+    from audio_denoising_tpu.io.codec import list_decodable_audio
+    from audio_denoising_tpu.train.data import MixtureSampler
+
+    data_dir = manifest["data_dir"]
+    noise_dir = manifest.get("noise_dir")
+    excluded = os.path.abspath(os.path.join(data_dir, "noise"))
+    paths = sorted(
+        p for p in glob.glob(os.path.join(data_dir, "**", "*.wav"),
+                             recursive=True)
+        if not os.path.abspath(p).startswith(excluded + os.sep))
+    if not paths:
+        raise FileNotFoundError(f"no WAVs under {data_dir}")
+    src_sr = AudioCache.probe_rate(paths[0])
+    paths = [p for p in paths if AudioCache.probe_rate(p) == src_sr]
+    noise_paths = list_decodable_audio(noise_dir) if noise_dir else ()
+    crop = int(manifest["crop_seconds"] * src_sr)
+
+    mixtures, cleans, gains = [], [], []
+    for blk in manifest["blocks"]:
+        sampler = MixtureSampler(
+            paths, noise_paths=noise_paths, crop_samples=crop,
+            batch_size=blk["n"], noise_gain=(blk["noise_gain"],
+                                             blk["noise_gain"]),
+            seed=blk["seed"], sample_rate=src_sr)
+        m, c = sampler.sample()
+        mixtures.append(m)
+        cleans.append(c)
+        gains += [blk["noise_gain"]] * blk["n"]
+    mixture = np.concatenate(mixtures)
+    clean = np.concatenate(cleans)
+
+    import hashlib
+    digest = hashlib.sha256(mixture.tobytes()
+                            + clean.tobytes()).hexdigest()[:16]
+    want = manifest.get("sha256_16")
+    if want and digest != want:
+        import sys
+        print(f"WARNING: manifest mixtures hash {digest} != frozen {want} "
+              "(corpus or sampler changed; metrics are not comparable to "
+              "older reports)", file=sys.stderr)
+    return mixture, clean, np.asarray(gains, np.float64), src_sr, digest
+
+
+def evaluate_manifest(spec: str, manifest_path: str, n_boot: int = 2000):
+    """Quality on a FROZEN mixture manifest, with mean +/- bootstrap 95%
+    CI per metric (VERDICT r2 weak-point 3: every quality claim carries
+    n and a CI). Reports overall and per-noise-gain breakdowns."""
+    import jax.numpy as jnp
+    from audio_denoising_tpu.hub import load_pretrained
+    from audio_denoising_tpu.apps.offline import denoise_array
+    from audio_denoising_tpu.ops.resample import resample
+    from audio_denoising_tpu.train.eval_metrics import (
+        log_spectral_distance, si_sdr_db, snr_db)
+
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    mixture, clean, gains, src_sr, digest = build_manifest_set(manifest)
+
+    cfg, model, params = load_pretrained(spec)
+    sr = cfg.dsp.sample_rate
+    if src_sr != sr:
+        mixture = np.asarray(resample(jnp.asarray(mixture), src_sr, sr))
+        clean = np.asarray(resample(jnp.asarray(clean), src_sr, sr))
+    crop = mixture.shape[-1]
+
+    outs = [denoise_array(cfg, model, params, mixture[i], sr)[:crop]
+            for i in range(len(mixture))]
+    est = jnp.asarray(np.stack(outs))
+    mix = jnp.asarray(mixture)
+    cl = jnp.asarray(clean)
+    alpha = (cl * est).sum(-1, keepdims=True) / (
+        (est * est).sum(-1, keepdims=True) + 1e-8)
+    est_m = est * alpha
+
+    per = {
+        "si_sdr_in": np.asarray(si_sdr_db(cl, mix)),
+        "si_sdr_out": np.asarray(si_sdr_db(cl, est)),
+        "snr_in": np.asarray(snr_db(cl, mix)),
+        "snr_out_matched": np.asarray(snr_db(cl, est_m)),
+        "lsd_in": np.asarray(log_spectral_distance(cl, mix)),
+        "lsd_out_matched": np.asarray(log_spectral_distance(cl, est_m)),
+    }
+    per["si_sdr_improvement"] = per["si_sdr_out"] - per["si_sdr_in"]
+
+    report = {
+        "model": spec,
+        "manifest": os.path.basename(manifest_path),
+        "manifest_version": manifest.get("version"),
+        "manifest_hash": digest,
+        "n_examples": int(len(mixture)),
+        "metrics": {k: _stat(v.astype(np.float64), n_boot)
+                    for k, v in per.items()},
+        "by_noise_gain": {},
+    }
+    for g in sorted(set(gains.tolist())):
+        m = gains == g
+        report["by_noise_gain"][str(g)] = {
+            k: _stat(v[m].astype(np.float64), n_boot)
+            for k, v in per.items()
+            if k in ("si_sdr_improvement", "si_sdr_out",
+                     "snr_out_matched", "lsd_out_matched")}
+    return report
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="audio_denoising_tpu eval",
         description="Denoising quality on synthesized mixtures")
     p.add_argument("--model", default="gruunet2-good")
-    p.add_argument("--data", required=True)
+    p.add_argument("--data", default=None)
+    p.add_argument("--manifest", default=None,
+                   help="frozen eval manifest JSON (runs/eval_manifest_*."
+                        "json): mean +/- bootstrap CI per metric")
+    p.add_argument("--bootstrap", type=int, default=2000)
     p.add_argument("--examples", type=int, default=16)
     p.add_argument("--seconds", type=float, default=2.0)
     p.add_argument("--noise-gain", type=float, default=0.5)
@@ -143,6 +276,13 @@ def main(argv=None) -> int:
                    help="override the checkpoint's spectral back-end")
     p.add_argument("--gl-iters", type=int, default=None)
     args = p.parse_args(argv)
+    if args.manifest:
+        report = evaluate_manifest(args.model, args.manifest,
+                                   n_boot=args.bootstrap)
+        print(json.dumps(report, indent=2))
+        return 0
+    if not args.data:
+        p.error("--data or --manifest is required")
     report = evaluate(args.model, args.data, args.examples, args.seconds,
                       args.noise_gain, args.seed, noise_dir=args.noise_dir,
                       reconstruction=args.reconstruction,

@@ -64,18 +64,15 @@ def _convert(argv) -> int:
     p.add_argument("src", help="checkpoint (preset name, .npz or "
                                "reference .pth)")
     p.add_argument("out", help="output path: .npz (weights) or .onnx "
-                               "(MOMO-family single-cell export, the "
+                               "(single recurrent-cell export for the "
+                               "MOMO and GRUUNet families, the "
                                "momo2_02.onnx-style artifact)")
     args = p.parse_args(argv)
     if args.out.lower().endswith(".onnx"):
-        from audio_denoising_tpu.compat.onnx_export import export_momo_cell
+        from audio_denoising_tpu.compat.onnx_export import export_cell
         from audio_denoising_tpu.hub import load_pretrained
         _cfg, model, params = load_pretrained(args.src)
-        if not hasattr(model, "geo"):
-            raise SystemExit("ONNX export covers the MOMO family "
-                             "(single recurrent cell), matching the "
-                             "reference's exported artifacts")
-        export_momo_cell(model, params, args.out)
+        export_cell(model, params, args.out)
         print(f"wrote {args.out}")
         return 0
     from audio_denoising_tpu.compat import save_params_npz

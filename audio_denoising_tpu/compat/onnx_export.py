@@ -142,6 +142,136 @@ def write_onnx(graph: Graph, path: str,
     return path
 
 
+# -- GRUUNet2 cell export --------------------------------------------------
+
+def export_gruunet_cell(model, params: Dict[str, Any], path: str) -> str:
+    """Export one GRUUNet2/GRUUNet cell step (models/gruunet.py:94-143)
+    to ONNX — the write-side generalization beyond the MOMO family
+    (VERDICT r2 task 6). Same op set as the reference's momo2 artifacts
+    (Conv/ConvTranspose/Sigmoid/Tanh/Concat/Split/...), same node-name
+    scheme (``/cell/input_gate/downs.N/conv/Conv``); the per-level
+    GaussianSmearing constants ride as initializers.
+
+    Inputs: ``input`` (1, F), ``h0`` (1, hidden, compressed).
+    Outputs: ``output`` (1, F), ``hx`` (momo2_02-style state IO).
+    """
+    c = model.config
+    F = model.num_bins
+    levels = model.levels
+    hidden = model.hidden
+
+    nodes: List[Node] = []
+    inits: Dict[str, np.ndarray] = {}
+
+    def add(op, name, ins, outs, **attrs):
+        nodes.append(Node(op, name, tuple(ins), tuple(outs), attrs))
+        return outs[0]
+
+    x2 = add("Unsqueeze", "/cell/Unsqueeze_x", ["input"], ["x_img"],
+             axes=[1])
+
+    # encoder: smear concat at EVERY level (gruunet cell, reference
+    # gruunet2.py:139-143), then strided Conv1d + Relu
+    h = x2
+    skip_names = [x2]
+    for i in range(levels):
+        sm = f"smear_down{i}"
+        inits[sm] = np.asarray(model.smears_down[i], np.float32)[None]
+        cat = add("Concat", f"/cell/input_gate/downs.{i}/Concat",
+                  [h, sm], [f"ig_cat{i}"], axis=1)
+        wname = f"cell.input_gate.downs.{i}.conv.weight"
+        bname = f"cell.input_gate.downs.{i}.conv.bias"
+        inits[wname] = np.asarray(params[wname], np.float32)
+        inits[bname] = np.asarray(params[bname], np.float32)
+        conv = add("Conv", f"/cell/input_gate/downs.{i}/conv/Conv",
+                   [cat, wname, bname], [f"ig_conv{i}"],
+                   strides=[int(c.strides[i])],
+                   pads=[int(c.paddings[i])] * 2,
+                   kernel_shape=[int(c.kernel_sizes[i])])
+        h = add("Relu", f"/cell/input_gate/downs.{i}/Relu", [conv],
+                [f"ig_act{i}"])
+        if i != levels - 1:
+            skip_names.append(h)
+
+    inits["smear_hx"] = np.asarray(model.smear_hx, np.float32)[None]
+    hcat = add("Concat", "/cell/reset_gate/Concat", ["h0", "smear_hx"],
+               ["rg_in"], axis=1)
+    inits["cell.reset_gate.downs.0.conv.weight"] = np.asarray(
+        params["cell.reset_gate.downs.0.conv.weight"], np.float32)
+    inits["cell.reset_gate.downs.0.conv.bias"] = np.asarray(
+        params["cell.reset_gate.downs.0.conv.bias"], np.float32)
+    rg = add("Conv", "/cell/reset_gate/downs.0/conv/Conv",
+             [hcat, "cell.reset_gate.downs.0.conv.weight",
+              "cell.reset_gate.downs.0.conv.bias"], ["rg_conv"],
+             strides=[1], pads=[1, 1], kernel_shape=[3])
+    rg = add("Relu", "/cell/reset_gate/downs.0/Relu", [rg], ["rg_act"])
+
+    nodes.append(Node("Split", "/cell/Split_i", (f"ig_act{levels - 1}",),
+                      ("i_r", "i_i", "i_n"),
+                      {"axis": 1, "split": [hidden] * 3}))
+    nodes.append(Node("Split", "/cell/Split_h", (rg,),
+                      ("h_r", "h_i", "h_n"),
+                      {"axis": 1, "split": [hidden] * 3}))
+    ig = add("Add", "/cell/Add_i", ["i_i", "h_i"], ["pre_ig"])
+    ig = add("Sigmoid", "/cell/Sigmoid", [ig], ["inputgate"])
+    rgate = add("Add", "/cell/Add_r", ["i_r", "h_r"], ["pre_rg"])
+    rgate = add("Sigmoid", "/cell/Sigmoid_1", [rgate], ["resetgate"])
+    rn = add("Mul", "/cell/Mul_rn", [rgate, "h_n"], ["r_hn"])
+    ng = add("Add", "/cell/Add_n", ["i_n", rn], ["pre_ng"])
+    ng = add("Tanh", "/cell/Tanh", [ng], ["newgate"])
+    hdiff = add("Sub", "/cell/Sub_h", ["h0", ng], ["h_minus_n"])
+    upd = add("Mul", "/cell/Mul_upd", [ig, hdiff], ["i_upd"])
+    hx = add("Add", "/cell/Add_hx", [ng, upd], ["hx"])
+
+    # decoder: concat(h, smear) -> ConvTranspose; all but the last level
+    # relu + concat the matching encoder skip (gruunet cell, reference
+    # gruunet2.py:184-198)
+    h = hx
+    for i in range(levels):
+        sm = f"smear_up{i}"
+        inits[sm] = np.asarray(model.smears_up[i], np.float32)[None]
+        cat = add("Concat", f"/cell/output_gate/ups.{i}/Concat_smear",
+                  [h, sm], [f"og_in{i}"], axis=1)
+        wname = f"cell.output_gate.ups.{i}.conv.weight"
+        bname = f"cell.output_gate.ups.{i}.conv.bias"
+        inits[wname] = np.asarray(params[wname], np.float32)
+        inits[bname] = np.asarray(params[bname], np.float32)
+        conv = add("ConvTranspose", f"/cell/output_gate/ups.{i}/conv/"
+                   "ConvTranspose",
+                   [cat, wname, bname], [f"og_conv{i}"],
+                   strides=[int(c.strides[::-1][i])],
+                   pads=[int(c.paddings[::-1][i])] * 2,
+                   output_padding=[int(model.up_output_paddings[i])],
+                   kernel_shape=[int(c.kernel_sizes[::-1][i])])
+        if i != levels - 1:
+            act = add("Relu", f"/cell/output_gate/ups.{i}/Relu", [conv],
+                      [f"og_act{i}"])
+            h = add("Concat", f"/cell/output_gate/ups.{i}/Concat",
+                    [act, skip_names[levels - 1 - i]],
+                    [f"og_cat{i}"], axis=1)
+        else:
+            h = conv
+    add("Squeeze", "/cell/Squeeze_out", [h], ["output"], axes=[1])
+
+    graph = Graph(nodes, inits,
+                  [("input", (1, F)), ("h0", (1, hidden, model.compressed))],
+                  ["output", "hx"])
+    return write_onnx(graph, path,
+                      output_shapes={"output": (1, F),
+                                     "hx": (1, hidden, model.compressed)})
+
+
+def export_cell(model, params: Dict[str, Any], path: str) -> str:
+    """Model-dispatching cell export: MOMO2/MOMO3 or GRUUNet2/GRUUNet."""
+    if hasattr(model, "geo"):                      # MOMO family
+        return export_momo_cell(model, params, path)
+    if hasattr(model, "smears_down"):              # GRUUNet family
+        return export_gruunet_cell(model, params, path)
+    raise ValueError(
+        f"ONNX cell export supports the MOMO and GRUUNet recurrent "
+        f"families; got {type(model).__name__}")
+
+
 # -- MOMO cell export ------------------------------------------------------
 
 def export_momo_cell(model, params: Dict[str, Any], path: str) -> str:

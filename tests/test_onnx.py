@@ -154,3 +154,60 @@ class TestOnnxExport:
         g = parse_onnx(p)
         assert [n for n, _ in g.inputs] == ["input", "prev", "h0"]
         assert g.outputs == ["output", "hx"]
+
+
+class TestGRUUNetExport:
+    """Write-side generalization past the MOMO family (VERDICT r2
+    task 6): GRUUNet2 cell export round-trips bit-exactly through
+    the self-contained reader."""
+
+    def test_gruunet2_roundtrip_bitexact(self, tmp_path, rng):
+        import jax
+        from audio_denoising_tpu.compat.onnx import parse_onnx, run_graph
+        from audio_denoising_tpu.compat.onnx_export import export_cell
+        from audio_denoising_tpu.config import ModelConfig
+        from audio_denoising_tpu.models import build_model
+        cfg = ModelConfig(arch="GRUUNet2", hidden_sizes=(8, 8, 8, 8),
+                          num_compressed_bins=2, num_gaussians=6,
+                          kernel_sizes=(3, 3, 3, 3), strides=(2, 2, 2, 2),
+                          paddings=(1, 1, 1, 1))
+        model = build_model(cfg, num_bins=32)
+        params = model.init(jax.random.PRNGKey(5))
+        p = str(tmp_path / "g2.onnx")
+        export_cell(model, params, p)
+        g = parse_onnx(p)
+        x = rng.standard_normal((1, 32)).astype(np.float32)
+        h0 = rng.standard_normal((1, 8, 2)).astype(np.float32)
+        out = run_graph(g, {"input": x, "h0": h0})
+        y, hx = model.cell(params, jnp.asarray(x), jnp.asarray(h0))
+        np.testing.assert_array_equal(out["output"], np.asarray(y))
+        np.testing.assert_array_equal(out["hx"], np.asarray(hx))
+
+    def test_shipped_gruunet2_checkpoint_exports(self, tmp_path):
+        """`convert gruunet2-good out.onnx` works on the real shipped
+        weights and the artifact executes with carried state."""
+        from audio_denoising_tpu.compat.onnx import parse_onnx, run_graph
+        from audio_denoising_tpu.compat.onnx_export import export_cell
+        from audio_denoising_tpu.hub import load_pretrained
+        try:
+            _cfg, model, params = load_pretrained("gruunet2-good")
+        except FileNotFoundError:
+            pytest.skip("converted checkpoint not present")
+        p = str(tmp_path / "good.onnx")
+        export_cell(model, params, p)
+        g = parse_onnx(p)
+        x = np.random.default_rng(0).standard_normal(
+            (1, 64)).astype(np.float32) * 0.1
+        h = np.zeros((1, 17, 4), np.float32)
+        for _ in range(3):        # state carries across steps
+            out = run_graph(g, {"input": x, "h0": h})
+            h = out["hx"]
+        y, hx = model.cell(params, jnp.asarray(x),
+                           jnp.asarray(np.zeros((1, 17, 4), np.float32)))
+        assert out["output"].shape == (1, 64)
+        assert np.isfinite(out["output"]).all()
+        # first-step parity vs the jax cell
+        first = run_graph(g, {"input": x,
+                              "h0": np.zeros((1, 17, 4), np.float32)})
+        np.testing.assert_array_equal(first["output"], np.asarray(y))
+        np.testing.assert_array_equal(first["hx"], np.asarray(hx))

@@ -138,11 +138,14 @@ class StreamEngine:
 
     def __init__(self, cfg: Config, model, params, mode: str = "fast",
                  max_streams: Optional[int] = None, jit: bool = True,
-                 mesh=None):
+                 mesh=None, pallas_interpret: bool = False):
         """``mesh``: optional jax.sharding.Mesh — params replicate, the
         stream-slot axis shards over it (multi-chip serving; the model
         needs no cross-chip communication, so N chips give N-way
-        throughput on ICI)."""
+        throughput on ICI). ``pallas_interpret``: run the Pallas kernels
+        of the fused modes in interpreter mode — for exercising the real
+        serving paths on a CPU mesh (tests, the driver's multichip
+        dryrun); never set on TPU."""
         self.cfg = cfg
         self.model = model
         self.params = params
@@ -174,7 +177,8 @@ class StreamEngine:
             block = min(128, (self.n + 7) // 8 * 8)
             hop_step = make_webrtc_hop(
                 cfg, plan, block_b=block,
-                compute_dtype=jnp.dtype(cfg.serving.dtype))
+                compute_dtype=jnp.dtype(cfg.serving.dtype),
+                interpret=pallas_interpret)
             step = lambda params, state, chunk: hop_step(state, chunk)
             self.state = webrtc_hop_init_state(cfg, plan, self.n)
             self._zero_one = webrtc_hop_init_state(cfg, plan, 1)
@@ -206,10 +210,12 @@ class StreamEngine:
             else:
                 plan = build_cell_plan(model, params)
             if mesh is not None:
-                hop_step = make_fused_hop_sharded(cfg, plan, mesh)
+                hop_step = make_fused_hop_sharded(
+                    cfg, plan, mesh, interpret=pallas_interpret)
             else:
                 hop_step = make_fused_hop(
-                    cfg, plan, compute_dtype=jnp.dtype(cfg.serving.dtype))
+                    cfg, plan, compute_dtype=jnp.dtype(cfg.serving.dtype),
+                    interpret=pallas_interpret)
             step = lambda params, state, chunk: hop_step(state, chunk)
             self.state = fused_hop_init_state(cfg, plan, self.n)
             self._zero_one = fused_hop_init_state(cfg, plan, 1)

@@ -141,7 +141,9 @@ class TestFailureIsolation:
             daemon.stop()
 
     def test_ws_daemon_rejects_non_websocket(self):
-        """Plain HTTP (no upgrade) gets a 400 and the daemon lives."""
+        """Plain HTTP on the WS port: GET / serves the browser client
+        page (round 3), anything else gets 405/404 — and the daemon
+        lives either way."""
         import socket as socketlib
         from audio_denoising_tpu.apps.ws_serve import WSDaemon
         daemon = WSDaemon("gruunet2-good", "localhost", 27202,
@@ -153,7 +155,12 @@ class TestFailureIsolation:
             s = socketlib.create_connection(("localhost", 27202), timeout=5)
             s.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
             resp = s.recv(1024)
-            assert b"400" in resp
+            assert resp.startswith(b"HTTP/1.1 200")
+            s.close()
+            s = socketlib.create_connection(("localhost", 27202), timeout=5)
+            s.sendall(b"POST /junk HTTP/1.1\r\nHost: x\r\n\r\n")
+            resp = s.recv(1024)
+            assert b"405" in resp.split(b"\r\n", 1)[0]
             s.close()
             # still serving proper clients
             from tests.test_websocket import _client_connect, _client_send

@@ -37,6 +37,9 @@ def build_model(config: ModelConfig, num_bins: Optional[int] = None):
                       bins=num_bins or 241)
     if arch == "TRUNet":
         return TRUNet()
+    if arch == "TRUNetDenoiser":
+        from audio_denoising_tpu.models.trunet import TRUNetDenoiser
+        return TRUNetDenoiser(num_bins or 257)
     raise ValueError(f"unknown arch {arch!r}")
 
 

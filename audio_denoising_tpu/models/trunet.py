@@ -47,6 +47,54 @@ class TRUNet:
         self.fgru = GRU(128, 64, bidirectional=True, param_prefix="FGRU.GRU.")
         self.tgru = GRU(64, 128, bidirectional=False, param_prefix="TGRU.GRU.")
 
+    # --- init (round 3: TRUNet goes live — framework-trainable weights;
+    # the reference ships none, trunet.py:160-168 is only a shape test) ---
+    @staticmethod
+    def _init_bn(params, name, ch):
+        """Identity running stats: batch_norm_1d runs in inference mode,
+        so during training BN acts as a learnable per-channel affine."""
+        params[f"{name}.weight"] = jnp.ones((ch,), jnp.float32)
+        params[f"{name}.bias"] = jnp.zeros((ch,), jnp.float32)
+        params[f"{name}.running_mean"] = jnp.zeros((ch,), jnp.float32)
+        params[f"{name}.running_var"] = jnp.ones((ch,), jnp.float32)
+
+    def init(self, key) -> Params:
+        params: Params = {}
+        keys = iter(jax.random.split(key, 64))
+        # down1: StandardConv1d(4 -> 64, k5 s2)
+        w, b = base.init_conv(next(keys), 64, 4, 5)
+        params["down1.StandardConv1d.0.weight"] = w
+        params["down1.StandardConv1d.0.bias"] = b
+        # down2..down6: pointwise (in->out,1) + BN + depthwise (out,1,k) + BN
+        for name, cin, cout, k, _s, kind in self.DOWNS[1:]:
+            seq = f"{name}.DepthwiseSeparableConv1d"
+            w, b = base.init_conv(next(keys), cout, cin, 1)
+            params[f"{seq}.0.weight"], params[f"{seq}.0.bias"] = w, b
+            self._init_bn(params, f"{seq}.1", cout)
+            w, b = base.init_conv(next(keys), cout, 1, k)
+            params[f"{seq}.3.weight"], params[f"{seq}.3.bias"] = w, b
+            self._init_bn(params, f"{seq}.4", cout)
+        # GRU blocks (torch nn.GRU param names) + their 1x1 conv + BN
+        params.update(self.fgru.init(next(keys)))
+        params.update(self.tgru.init(next(keys)))
+        for name, gin in (("FGRU", 128), ("TGRU", 128)):
+            w, b = base.init_conv(next(keys), 64, gin, 1)
+            params[f"{name}.conv.0.weight"] = w
+            params[f"{name}.conv.0.bias"] = b
+            self._init_bn(params, f"{name}.conv.1", 64)
+        # ups: pointwise (in->out,1) + BN + ConvTranspose(out->out,k) [+ BN]
+        for name, cin, cout, k, _s, kind in self.UPS:
+            seq = {"first": f"{name}.FirstTrCNN", "mid": f"{name}.TrCNN",
+                   "last": f"{name}.LastTrCNN"}[kind]
+            w, b = base.init_conv(next(keys), cout, cin, 1)
+            params[f"{seq}.0.weight"], params[f"{seq}.0.bias"] = w, b
+            self._init_bn(params, f"{seq}.1", cout)
+            w, b = base.init_conv_transpose(next(keys), cout, cout, k)
+            params[f"{seq}.3.weight"], params[f"{seq}.3.bias"] = w, b
+            if kind != "last":
+                self._init_bn(params, f"{seq}.4", cout)
+        return params
+
     # --- blocks ----------------------------------------------------------
     def _std_conv(self, params, name, x, k, s):
         seq = f"{name}.StandardConv1d"
@@ -114,3 +162,57 @@ class TRUNet:
 
     def __call__(self, params, x):
         return self.apply(params, x)
+
+
+class TRUNetDenoiser:
+    """TRUNet wired into the framework's residual-denoising contract
+    (round 3 — VERDICT r2 task 5: 'make TRUNet live').
+
+    The reference vendors TRUNet but never connects it to audio
+    (trunet.py:160-168 is only a shape smoke test), so the featurization
+    and serving semantics here are OURS, designed to the model's
+    (B, 4, F) -> (B, 5, F) per-frame contract (trunet.py:122-158):
+
+    - each spectrogram frame becomes 4 input channels over the F=257
+      frequency bins: [log1p magnitude, temporal delta (frame t minus
+      t-1 — the only temporal context; the vendored TGRU recurs over the
+      compressed FREQUENCY axis, not time), frequency delta, and a
+      normalized bin-position ramp (the role GaussianSmearing plays in
+      the sibling models)];
+    - output channel 0 is the predicted residual log-magnitude (the
+      framework contract: reconstruction = input - residual); channels
+      1-4 of the vendored 5-channel head are unused and stay near init.
+
+    The adapter exposes the stateless-U-Net surface (``compatible_frames``
+    + image-in/image-out ``apply``), so training (TrainingContext),
+    offline denoise (pipeline.offline_denoise_stateless), evaluation, and
+    cadence-locked segment streaming (engine mode 'unet') all work
+    unchanged."""
+
+    def __init__(self, num_bins: int = 257):
+        self.net = TRUNet()
+        self.num_bins = num_bins
+        self._pos = jnp.linspace(0.0, 1.0, num_bins, dtype=jnp.float32)
+
+    def init(self, key) -> Params:
+        return self.net.init(key)
+
+    def compatible_frames(self, t: int) -> int:
+        return t                       # per-frame model: any frame count
+
+    def apply(self, params: Params, img: jnp.ndarray,
+              dropout_rng=None, dropout: float = 0.0) -> jnp.ndarray:
+        """img: (B, F, T) log1p magnitude -> (B, F, T) residual."""
+        del dropout_rng, dropout       # vendored net has no dropout
+        B, F, T = img.shape
+        frames = jnp.swapaxes(img, 1, 2).reshape(B * T, F)
+        dt = img - jnp.pad(img[..., :-1], ((0, 0), (0, 0), (1, 0)))
+        dt = jnp.swapaxes(dt, 1, 2).reshape(B * T, F)
+        df = frames - jnp.pad(frames[:, :-1], ((0, 0), (1, 0)))
+        pos = jnp.broadcast_to(self._pos, (B * T, F))
+        x = jnp.stack([frames, dt, df, pos], axis=1)      # (B*T, 4, F)
+        resid = self.net.apply(params, x)[:, 0, :F]       # (B*T, F)
+        return jnp.swapaxes(resid.reshape(B, T, F), 1, 2)
+
+    def __call__(self, params, img, **kw):
+        return self.apply(params, img, **kw)

@@ -68,6 +68,9 @@ def main(argv=None) -> int:
                    help="SNR-targeted mixture curriculum (device-data "
                         "path): per-mixture noise gain solved to hit a "
                         "uniform SNR in [lo, hi] dB")
+    p.add_argument("--si-sdr-weight", type=float, default=None,
+                   help="add -SI-SDR/10 to the recon_mrstft objective "
+                        "(directly optimizes the headline eval metric)")
     p.add_argument("--noise-dir", default=None,
                    help="extra noise corpus (wav/mp3/webm via io/codec.py) "
                         "in addition to <data>/noise; crops are resampled "
@@ -89,6 +92,8 @@ def main(argv=None) -> int:
         overrides["objective"] = args.objective
     if args.snr_range:
         overrides["snr_range_db"] = tuple(args.snr_range)
+    if args.si_sdr_weight is not None:
+        overrides["si_sdr_weight"] = args.si_sdr_weight
     if overrides:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **overrides))

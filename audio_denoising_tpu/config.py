@@ -170,6 +170,13 @@ class TrainConfig:
     mrstft_weight: float = 1.0
     wave_l1_weight: float = 10.0      # waveforms live in [-1,1]
     residual_aux_weight: float = 0.05
+    # negative SI-SDR (dB/10) term — directly optimizes the headline
+    # eval metric (scale-invariant, so it composes with any level
+    # convention). 0 disables. (Oracle analysis, docs/BENCHMARKS.md:
+    # noisy-phase reuse allows +19.9 dB SI-SDR on the eval manifest and
+    # the mel-64 bottleneck +11.6, so the metric is model-limited, not
+    # phase-limited — worth optimizing directly.)
+    si_sdr_weight: float = 0.0
     # Curriculum: when set, per-mixture noise gain targets a uniform SNR
     # in [lo, hi] dB (computed from crop energies on device) instead of
     # the uniform amplitude gain — evens difficulty across the batch.

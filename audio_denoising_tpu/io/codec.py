@@ -521,7 +521,7 @@ def read_ogg_vorbis(path: str) -> Tuple[np.ndarray, int]:
     return np.ascontiguousarray(np.concatenate(chunks, axis=1)), rate
 
 
-_FFMPEG_EXTS = (".flac", ".m4a", ".aac", ".mp4",
+_FFMPEG_EXTS = (".m4a", ".aac", ".mp4",
                 ".wma", ".aiff", ".aif")
 
 
@@ -537,6 +537,8 @@ def codec_available(path: str) -> bool:
         return _has_opus_track(path) if os.path.exists(path) else True
     if low.endswith((".ogg", ".oga")):
         return vorbis_available()
+    if low.endswith(".flac"):
+        return True        # pure-Python decoder (io/flac.py), no lib needed
     return False
 
 
@@ -569,4 +571,7 @@ def read_audio_codec(path: str) -> Tuple[np.ndarray, int]:
         return read_webm_opus(path)
     if low.endswith((".ogg", ".oga")):
         return read_ogg_vorbis(path)
+    if low.endswith(".flac"):
+        from audio_denoising_tpu.io.flac import read_flac
+        return read_flac(path)
     raise ValueError(f"unsupported container: {path!r}")

@@ -157,6 +157,10 @@ class TrainingContext:
         loss = (tr.mrstft_weight * multi_res_stft(est, clean)
                 + tr.wave_l1_weight * jnp.mean(jnp.abs(est - clean))
                 + tr.residual_aux_weight * jnp.mean((pred - target) ** 2))
+        if tr.si_sdr_weight:
+            from audio_denoising_tpu.train.eval_metrics import si_sdr_db
+            loss = loss - tr.si_sdr_weight * jnp.mean(
+                si_sdr_db(clean, est)) / 10.0
         return loss
 
     def _train_step_impl(self, state: TrainState, mixture, clean):

@@ -298,3 +298,78 @@ class TestOggVorbis:
         samples, rate = AudioCache().load(p)
         assert rate == sr
         assert samples.ndim == 2 and samples.shape[0] == 1
+
+
+class TestFLAC:
+    """Round 3: pure-Python FLAC decoder (io/flac.py) — no libFLAC or
+    ffmpeg on this machine; fixtures come from the spec-valid minimal
+    encoder in tests/helpers_flacenc.py."""
+
+    def _tone(self, n=5000, sr=16000, ch=1):
+        t = np.arange(n) / sr
+        x = np.stack([0.5 * np.sin(2 * np.pi * (300 + 120 * c) * t)
+                      for c in range(ch)]).astype(np.float32)
+        return x[0] if ch == 1 else x
+
+    @pytest.mark.parametrize("kind", ["constant", "verbatim", "fixed2",
+                                      "lpc1"])
+    def test_subframe_kinds_bit_exact(self, tmp_path, kind):
+        from tests.helpers_flacenc import write_flac
+        from audio_denoising_tpu.io.flac import read_flac
+        sr = 16000
+        if kind == "constant":
+            raw = np.full(4096, 123, np.int64)
+        else:
+            raw = np.round(self._tone() * 32767).astype(np.int64)
+        p = str(tmp_path / f"{kind}.flac")
+        write_flac(p, raw, sr, kind=kind)
+        data, rate = read_flac(p)
+        assert rate == sr
+        got = np.round(data[0] * 32768).astype(np.int64)
+        np.testing.assert_array_equal(got, raw)      # lossless: bit exact
+
+    @pytest.mark.parametrize("mode", ["independent", "left_side",
+                                      "right_side", "mid_side"])
+    def test_stereo_modes_bit_exact(self, tmp_path, mode):
+        from tests.helpers_flacenc import write_flac
+        from audio_denoising_tpu.io.flac import read_flac
+        sr = 8000
+        raw = np.round(self._tone(n=3000, ch=2) * 30000).astype(np.int64)
+        p = str(tmp_path / f"{mode}.flac")
+        write_flac(p, raw, sr, stereo_mode=mode)
+        data, rate = read_flac(p)
+        assert rate == sr and data.shape[0] == 2
+        got = np.round(data * 32768).astype(np.int64)
+        np.testing.assert_array_equal(got, raw)
+
+    def test_header_crc_verified(self, tmp_path):
+        from tests.helpers_flacenc import write_flac
+        from audio_denoising_tpu.io.flac import read_flac
+        raw = np.round(self._tone(n=2048) * 20000).astype(np.int64)
+        p = str(tmp_path / "bad.flac")
+        write_flac(p, raw, 16000)
+        blob = bytearray(open(p, "rb").read())
+        # find the first frame (sync FF F8) and corrupt a header byte
+        i = blob.index(b"\xff\xf8", 4)
+        blob[i + 3] ^= 0xFF
+        open(p, "wb").write(bytes(blob))
+        with pytest.raises(ValueError):
+            read_flac(p)
+
+    def test_dispatch_listing_and_cache(self, tmp_path):
+        from tests.helpers_flacenc import write_flac
+        from audio_denoising_tpu.io.codec import (
+            codec_available, list_decodable_audio, read_audio_codec)
+        from audio_denoising_tpu.io.cache import AudioCache
+        sr = 16000
+        tone = self._tone()
+        p = str(tmp_path / "a.flac")
+        write_flac(p, np.round(tone * 32767).astype(np.int64), sr)
+        assert codec_available(p)
+        data, rate = read_audio_codec(p)
+        assert rate == sr and data.shape[0] == 1
+        np.testing.assert_allclose(data[0], tone, atol=1 / 32768)
+        assert [os.path.basename(x)
+                for x in list_decodable_audio(str(tmp_path))] == ["a.flac"]
+        samples, rate = AudioCache().load(p)
+        assert rate == sr and samples.shape[0] == 1

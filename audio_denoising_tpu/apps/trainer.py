@@ -71,6 +71,11 @@ def main(argv=None) -> int:
     p.add_argument("--si-sdr-weight", type=float, default=None,
                    help="add -SI-SDR/10 to the recon_mrstft objective "
                         "(directly optimizes the headline eval metric)")
+    p.add_argument("--hidden", type=int, default=None,
+                   help="override the model's hidden width (uniform "
+                        "across levels) — capacity-scaling experiments; "
+                        "the checkpoint carries its own config so eval/"
+                        "serving pick it up")
     p.add_argument("--noise-dir", default=None,
                    help="extra noise corpus (wav/mp3/webm via io/codec.py) "
                         "in addition to <data>/noise; crops are resampled "
@@ -97,6 +102,11 @@ def main(argv=None) -> int:
     if overrides:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **overrides))
+    if args.hidden:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model,
+                hidden_sizes=(args.hidden,) * len(cfg.model.hidden_sizes)))
     if args.objective == "recon_mrstft":
         # trained through the reconstruction, the model is level-
         # calibrated: the preset's x3 serving gain / 0.9 state decay are

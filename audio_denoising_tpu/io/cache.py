@@ -101,6 +101,23 @@ class AudioCache:
             return probe_mp3_rate(path)
         if low.endswith((".webm", ".mkv", ".weba")):
             return 48000       # Opus always reconstructs at 48 kHz
+        if low.endswith(".flac"):
+            # STREAMINFO is the mandatory first metadata block: rate is
+            # the top 20 bits at byte 10 of its body (io/flac.py)
+            # absolute offset: 4 (fLaC) + 4 (block header) + 10 (body
+            # prefix: min/max block 2+2, min/max frame 3+3)
+            with open(path, "rb") as f:
+                head = f.read(26)
+            if head[:4] == b"fLaC":
+                return int.from_bytes(head[18:21], "big") >> 4
+        if low.endswith((".ogg", ".oga")):
+            # Vorbis identification header rides in the first page:
+            # "\x01vorbis" + version(4) + channels(1) + rate(4, LE)
+            with open(path, "rb") as f:
+                head = f.read(512)
+            i = head.find(b"\x01vorbis")
+            if i >= 0 and len(head) >= i + 16:
+                return int.from_bytes(head[i + 12:i + 16], "little")
         return AudioCache().load(path)[1]
 
     def random_crop_from(self, paths: List[str], crop_samples: int,

@@ -373,3 +373,23 @@ class TestFLAC:
                 for x in list_decodable_audio(str(tmp_path))] == ["a.flac"]
         samples, rate = AudioCache().load(p)
         assert rate == sr and samples.shape[0] == 1
+
+
+class TestProbeRates:
+    def test_probe_flac_and_ogg_header_only(self, tmp_path):
+        from tests.helpers_flacenc import write_flac
+        from audio_denoising_tpu.io.cache import AudioCache
+        t = np.round(0.3 * np.sin(np.arange(3000) / 5.0) * 32767)
+        p = str(tmp_path / "x.flac")
+        write_flac(p, t.astype(np.int64), 22050)
+        assert AudioCache.probe_rate(p) == 22050
+        try:
+            from tests.helpers_oggenc import (
+                vorbis_encoder_available, write_ogg)
+            from audio_denoising_tpu.io.codec import vorbis_available
+            if vorbis_available() and vorbis_encoder_available():
+                q = str(tmp_path / "x.ogg")
+                write_ogg(q, (t / 32768).astype(np.float32), 16000)
+                assert AudioCache.probe_rate(q) == 16000
+        except RuntimeError:
+            pass

@@ -137,9 +137,12 @@ class TestWebMOpus:
         assert c > 0.99, f"opus round trip corrupted the signal: corr={c}"
 
     def test_dispatch_gating(self):
+        from audio_denoising_tpu.io.codec import vorbis_available
         assert codec_available("x.mp3") == mp3_available()
         assert codec_available("x.webm") == opus_available()
-        assert not codec_available("x.flac")
+        assert codec_available("x.ogg") == vorbis_available()
+        assert codec_available("x.flac")      # pure-Python, always on
+        assert not codec_available("x.m4a")   # aac: ffmpeg fallback only
 
 
 # ---- fixture builders ------------------------------------------------------

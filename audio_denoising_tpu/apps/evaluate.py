@@ -193,7 +193,8 @@ def build_manifest_set(manifest: dict):
     return mixture, clean, np.asarray(gains, np.float64), src_sr, digest
 
 
-def evaluate_manifest(spec: str, manifest_path: str, n_boot: int = 2000):
+def evaluate_manifest(spec: str, manifest_path: str, n_boot: int = 2000,
+                      per_example_out: str = None):
     """Quality on a FROZEN mixture manifest, with mean +/- bootstrap 95%
     CI per metric (VERDICT r2 weak-point 3: every quality claim carries
     n and a CI). Reports overall and per-noise-gain breakdowns."""
@@ -233,6 +234,13 @@ def evaluate_manifest(spec: str, manifest_path: str, n_boot: int = 2000):
         "lsd_out_matched": np.asarray(log_spectral_distance(cl, est_m)),
     }
     per["si_sdr_improvement"] = per["si_sdr_out"] - per["si_sdr_in"]
+    if per_example_out:
+        # per-example metric vectors: the input to PAIRED model
+        # comparisons (tools/compare_models.py) — the same 64 mixtures
+        # evaluate under every model, so differences bootstrap per
+        # example with the mixture-difficulty variance cancelled
+        np.savez(per_example_out, gains=gains,
+                 **{k: v.astype(np.float64) for k, v in per.items()})
 
     report = {
         "model": spec,
@@ -264,6 +272,9 @@ def main(argv=None) -> int:
                    help="frozen eval manifest JSON (runs/eval_manifest_*."
                         "json): mean +/- bootstrap CI per metric")
     p.add_argument("--bootstrap", type=int, default=2000)
+    p.add_argument("--save-per-example", default=None,
+                   help="write per-example metric vectors (npz) for "
+                        "paired model comparisons")
     p.add_argument("--examples", type=int, default=16)
     p.add_argument("--seconds", type=float, default=2.0)
     p.add_argument("--noise-gain", type=float, default=0.5)
@@ -278,7 +289,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     if args.manifest:
         report = evaluate_manifest(args.model, args.manifest,
-                                   n_boot=args.bootstrap)
+                                   n_boot=args.bootstrap,
+                                   per_example_out=args.save_per_example)
         print(json.dumps(report, indent=2))
         return 0
     if not args.data:

@@ -323,6 +323,10 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             + (jax.ShapeDtypeStruct((K, bp, hop), io_dtype),),
             scratch_shapes=[pltpu.VMEM((block_b, wd), jnp.float32)
                             for wd in widths],
+            # default scoped-vmem limit is 16 MB; wider plans (hidden 40:
+            # 29 MB stack at block_b=128) need headroom — v5e has 128 MB
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(*states, chunks, *operands)
         new_states, outs = list(res[:-1]), res[-1]
@@ -365,6 +369,8 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
                 jax.ShapeDtypeStruct((bp, wd), jnp.float32)
                 for wd in widths)
             + (jax.ShapeDtypeStruct((bp, hop), jnp.float32),),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(*states, chunk, *operands)
         new_states, out = list(res[:-1]), res[-1]

@@ -83,3 +83,92 @@ class TestEvaluateHarness:
         assert rep["reconstruction"] == "griffin_lim"
         for k in ("output_snr_matched_db", "output_lsd_matched"):
             assert np.isfinite(rep[k])
+
+
+class TestManifestEval:
+    """Round 3: frozen-manifest evaluation with bootstrap CIs and paired
+    model comparisons."""
+
+    def _manifest(self, tmp_path):
+        import json
+        from audio_denoising_tpu.io.wavio import write_wav
+        d = tmp_path / "corpus"
+        d.mkdir()
+        sr = 8000
+        for i in range(3):
+            t = np.arange(sr * 3) / sr
+            tone = (0.4 * np.sin(2 * np.pi * (220 + 60 * i) * t)
+                    ).astype(np.float32)
+            write_wav(str(d / f"c{i}.wav"), tone, sr)
+        man = {"version": 0, "data_dir": str(d), "noise_dir": None,
+               "crop_seconds": 0.5,
+               "blocks": [{"seed": 1, "noise_gain": 0.5, "n": 3},
+                          {"seed": 2, "noise_gain": 1.0, "n": 3}]}
+        p = tmp_path / "man.json"
+        p.write_text(json.dumps(man))
+        return str(p), man
+
+    def test_build_manifest_set_deterministic(self, tmp_path):
+        from audio_denoising_tpu.apps.evaluate import build_manifest_set
+        _p, man = self._manifest(tmp_path)
+        m1, c1, g1, sr1, h1 = build_manifest_set(man)
+        m2, c2, g2, sr2, h2 = build_manifest_set(man)
+        assert h1 == h2 and sr1 == sr2 == 8000
+        np.testing.assert_array_equal(m1, m2)
+        assert m1.shape == (6, 4000)
+        np.testing.assert_array_equal(g1, [0.5] * 3 + [1.0] * 3)
+
+    def test_hash_drift_warns(self, tmp_path, capsys):
+        from audio_denoising_tpu.apps.evaluate import build_manifest_set
+        _p, man = self._manifest(tmp_path)
+        man = dict(man, sha256_16="deadbeefdeadbeef")
+        build_manifest_set(man)
+        assert "hash" in capsys.readouterr().err
+
+    def test_bootstrap_ci_brackets_mean(self):
+        from audio_denoising_tpu.apps.evaluate import _bootstrap_ci, _stat
+        rng = np.random.default_rng(0)
+        x = rng.normal(5.0, 1.0, 200)
+        lo, hi = _bootstrap_ci(x)
+        assert lo < x.mean() < hi
+        assert hi - lo < 0.6              # ~4 * sigma/sqrt(n)
+        s = _stat(x)
+        assert s["n"] == 200 and s["ci95"][0] < s["mean"] < s["ci95"][1]
+
+    def test_paired_report_resolves_small_shift(self, tmp_path):
+        """An 0.3-unit model difference invisible to unpaired CIs (the
+        example spread is sigma=3) is significant in the paired test."""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from tools.compare_models import paired_report
+        rng = np.random.default_rng(1)
+        base = rng.normal(0.0, 3.0, 64)     # mixture difficulty spread
+        noise = rng.normal(0.0, 0.1, 64)
+        mk = lambda v: {m: v for m in
+                        ("si_sdr_improvement", "si_sdr_out",
+                         "snr_out_matched", "lsd_out_matched")}
+        a = tmp_path / "a.npz"
+        b = tmp_path / "b.npz"
+        # si_sdr_in is the manifest-identity guard: same in both files
+        np.savez(a, si_sdr_in=base, **mk(base + 0.3 + noise))
+        np.savez(b, si_sdr_in=base, **mk(base))
+        rep = paired_report(str(a), str(b))
+        for m, r in rep.items():
+            assert r["significant"], (m, r)
+            assert 0.2 < r["mean_delta"] < 0.4
+
+    def test_evaluate_manifest_end_to_end(self, tmp_path):
+        """Full manifest evaluation against a real checkpoint preset on
+        a tiny synthetic manifest, with per-example output."""
+        import json
+        from audio_denoising_tpu.apps.evaluate import evaluate_manifest
+        p, _man = self._manifest(tmp_path)
+        pe = str(tmp_path / "pe.npz")
+        rep = evaluate_manifest("gruunet2-good", p, n_boot=200,
+                                per_example_out=pe)
+        assert rep["n_examples"] == 6
+        m = rep["metrics"]["si_sdr_improvement"]
+        assert m["n"] == 6 and len(m["ci95"]) == 2
+        assert set(rep["by_noise_gain"]) == {"0.5", "1.0"}
+        per = np.load(pe)
+        assert per["si_sdr_out"].shape == (6,)

@@ -244,6 +244,20 @@ PRESETS: Dict[str, Config] = {
         serving=ServingConfig(state_decay=0.9, output_gain=3.0,
                               chunk_samples=320),
     ),
+    # Wider mel basis (round 3, ours — no reference counterpart): the
+    # oracle ceiling analysis (docs/BENCHMARKS.md) shows clean magnitudes
+    # pushed through the mel-64 basis cap SI-SDR improvement at +11.6 dB
+    # on the frozen manifest, while mel-128 allows +17.7 — the feature
+    # basis, not phase reuse or parameter count, binds quality at 64.
+    # Same socket-path DSP as gruunet2-good otherwise; the encoder's four
+    # stride-2 levels compress 128 -> 8 bins.
+    "gruunet2-mel128": Config(
+        dsp=DSPConfig(n_fft=1024, hop_length=512, n_mels=128, domain="mel",
+                      reconstruction="phase"),
+        model=ModelConfig(arch="GRUUNet2", num_compressed_bins=8),
+        serving=ServingConfig(state_decay=0.9, output_gain=3.0,
+                              chunk_samples=512),
+    ),
     # Stateless magnitude U-Net (unet4) on the raw-spectrogram front-end:
     # BINS=241 = 480/2+1, win 10 ms, hop 384 (utils.py:32-37, unet4.py:32).
     # The reference ships no UNet checkpoint — train via the training CLI.

@@ -213,3 +213,50 @@ class TestMomoPlan:
         for k in g0:
             np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
                                        atol=1e-3)
+
+
+class TestMel128Plan:
+    """The gruunet2-mel128 preset (round 3: the mel-64 basis is the
+    measured quality ceiling — docs/BENCHMARKS.md oracle rows) must ride
+    the same plan/fused serving path as the 64-bin presets: plan.py is
+    probe-parameterized over bin_sizes, and F=128 is exactly one TPU
+    lane tile so the fused kernel needs no F padding."""
+
+    @pytest.fixture(scope="class")
+    def mel128(self):
+        from audio_denoising_tpu.config import PRESETS
+        cfg = PRESETS["gruunet2-mel128"]
+        model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+        params = model.init(jax.random.PRNGKey(3))
+        return cfg, model, params
+
+    def test_plan_cell_parity(self, mel128, rng):
+        cfg, model, params = mel128
+        assert model.bin_sizes == [128, 64, 32, 16, 8]
+        plan = build_cell_plan(model, params)
+        x = jnp.asarray(rng.standard_normal((4, 128)), jnp.float32)
+        hx = jnp.asarray(rng.standard_normal((4, 17, 8)), jnp.float32)
+        y0, h0 = model.cell(params, x, hx)
+        y1, h1 = plan_cell(plan, x, hx.reshape(4, -1))
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(h0).reshape(4, -1),
+                                   np.asarray(h1), atol=5e-5)
+
+    def test_fused_interpret_parity(self, mel128, rng):
+        cfg, model, params = mel128
+        pm = PlanModel(model, params, fused=True, interpret=True)
+        x = jnp.asarray(rng.standard_normal((8, 128)), jnp.float32)
+        hx = jnp.asarray(rng.standard_normal((8, 17 * 8)), jnp.float32)
+        y0, h0 = plan_cell(pm.plan, x, hx)
+        y1, h1 = pm._cell(x, hx)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-5)
+
+    def test_serving_step(self, mel128, rng):
+        from audio_denoising_tpu.pipeline import make_server_step
+        cfg, model, params = mel128
+        step = jax.jit(make_server_step(cfg, model))
+        chunk = jnp.asarray(0.1 * rng.standard_normal((2, 1024)), jnp.float32)
+        h, y = step(params, model.init_state(2), chunk)
+        assert y.shape == chunk.shape
+        assert np.isfinite(np.asarray(y)).all()

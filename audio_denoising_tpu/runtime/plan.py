@@ -344,6 +344,11 @@ class PlanModel:
     ``fused=True`` runs the cell as one Pallas TPU kernel (GRUUNet
     family only)."""
 
+    # Weights the fused one-kernel cell may hold VMEM-resident: v5e has
+    # 128 MB of VMEM; leave headroom for activation tiles + double
+    # buffering (the shipped configs use ~4 MB; hidden 40 ~ 33 MB).
+    FUSED_VMEM_BUDGET = 100 * 2**20
+
     def __init__(self, model, params, fused: bool = False,
                  interpret: bool = False):
         self.inner = model
@@ -355,6 +360,25 @@ class PlanModel:
         self.num_bins = model.num_bins
         self.fused = fused
         self.interpret = interpret
+        if fused and not interpret:
+            # VMEM capacity gate: the one-kernel cell holds EVERY plan
+            # matrix resident in VMEM (constant index maps), so a wide
+            # checkpoint whose dense plan exceeds the chip's VMEM (v5e:
+            # 128 MB) would fail compile with a scoped-vmem OOM (seen at
+            # hidden 64 x mel-128: 137 MB of plan weights -> 156 MB
+            # scoped). Fall back to the XLA op-by-op plan path, which
+            # streams weights from HBM and has no such limit.
+            import numpy as _np
+            mats = jax.tree_util.tree_leaves(self.plan)
+            plan_bytes = sum(_np.prod(_np.shape(m)) * 4 for m in mats)
+            if plan_bytes > self.FUSED_VMEM_BUDGET:
+                import warnings
+                warnings.warn(
+                    f"plan weights ({plan_bytes / 2**20:.0f} MB fp32) "
+                    f"exceed the fused-kernel VMEM budget "
+                    f"({self.FUSED_VMEM_BUDGET / 2**20:.0f} MB); serving "
+                    f"falls back to the unfused plan path", stacklevel=2)
+                fused = self.fused = False
         if fused:
             from audio_denoising_tpu.ops.pallas.gruunet_cell import (
                 make_fused_cell)

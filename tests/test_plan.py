@@ -215,6 +215,32 @@ class TestMomoPlan:
                                        atol=1e-3)
 
 
+class TestFusedVmemGate:
+    """Wide checkpoints whose dense plan exceeds the one-kernel VMEM
+    budget (v5e: 128 MB; seen OOM at hidden 64 x mel-128 = 137 MB of
+    plan weights) must fall back to the unfused plan path instead of
+    failing compile with a scoped-vmem error."""
+
+    def test_wide_plan_falls_back(self):
+        cfg = ModelConfig(arch="GRUUNet2", hidden_sizes=(64,) * 4,
+                          num_compressed_bins=8)
+        model = build_model(cfg, num_bins=128)
+        params = model.init(jax.random.PRNGKey(0))
+        with pytest.warns(UserWarning, match="VMEM budget"):
+            pm = PlanModel(model, params, fused=True)
+        assert pm.fused is False
+        x = jnp.zeros((2, 128), jnp.float32)
+        y, hx = pm.cell(None, x, pm.init_state(2))
+        assert y.shape == (2, 128)
+
+    def test_narrow_plan_stays_fused(self):
+        cfg = ModelConfig(arch="GRUUNet2", hidden_sizes=(17,) * 4)
+        model = build_model(cfg, num_bins=64)
+        params = model.init(jax.random.PRNGKey(0))
+        pm = PlanModel(model, params, fused=True, interpret=True)
+        assert pm.fused is True
+
+
 class TestMel128Plan:
     """The gruunet2-mel128 preset (round 3: the mel-64 basis is the
     measured quality ceiling — docs/BENCHMARKS.md oracle rows) must ride

@@ -157,6 +157,28 @@ class StreamEngine:
                 "max_streams must divide evenly over the mesh")
         self.hop = cfg.dsp.hop_length
 
+        if mode in ("fused", "fused-webrtc") and not pallas_interpret \
+                and not hasattr(model, "geo"):
+            # VMEM capacity gate (mirrors PlanModel): the one-kernel hops
+            # hold every dense plan matrix VMEM-resident, so a wide
+            # checkpoint (hidden 64 x mel-128 = 137 MB fp32) fails TPU
+            # compile with a scoped-vmem OOM. Downgrade to the equivalent
+            # op-by-op mode, which streams weights from HBM.
+            import warnings
+            from audio_denoising_tpu.runtime.plan import (
+                PlanModel, build_cell_plan)
+            import numpy as _np
+            _plan = build_cell_plan(model, params)
+            _bytes = sum(_np.prod(_np.shape(m)) * 4
+                         for m in jax.tree_util.tree_leaves(_plan))
+            if _bytes > PlanModel.FUSED_VMEM_BUDGET:
+                fallback = "fast" if mode == "fused" else "webrtc"
+                warnings.warn(
+                    f"plan weights ({_bytes / 2**20:.0f} MB fp32) exceed "
+                    f"the fused-kernel VMEM budget; engine mode "
+                    f"{mode!r} downgraded to {fallback!r}", stacklevel=2)
+                mode = self.mode = fallback
+
         if mode == "fast":
             step = make_fast_step(cfg, model)
             self.state = fast_init_state(cfg, model, self.n)

@@ -240,6 +240,23 @@ class TestFusedVmemGate:
         pm = PlanModel(model, params, fused=True, interpret=True)
         assert pm.fused is True
 
+    def test_engine_fused_mode_downgrades(self):
+        import dataclasses
+        from audio_denoising_tpu.config import PRESETS
+        from audio_denoising_tpu.runtime.engine import StreamEngine
+        cfg = PRESETS["gruunet2-mel128"]
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, hidden_sizes=(64,) * 4))
+        model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+        params = model.init(jax.random.PRNGKey(0))
+        with pytest.warns(UserWarning, match="downgraded to 'fast'"):
+            eng = StreamEngine(cfg, model, params, mode="fused",
+                               max_streams=2)
+        assert eng.mode == "fast"
+        out = eng.process_batch(np.zeros((2, cfg.dsp.hop_length),
+                                         np.float32))
+        assert out.shape == (2, cfg.dsp.hop_length)
+
 
 class TestMel128Plan:
     """The gruunet2-mel128 preset (round 3: the mel-64 basis is the

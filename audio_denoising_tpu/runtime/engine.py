@@ -169,7 +169,11 @@ class StreamEngine:
                 PlanModel, build_cell_plan)
             import numpy as _np
             _plan = build_cell_plan(model, params)
-            _bytes = sum(_np.prod(_np.shape(m)) * 4
+            # the fused hops store matrix operands at the serving compute
+            # dtype (bf16 halves the resident bytes — wide checkpoints
+            # that OOM in fp32 can still fuse with serving.dtype=bfloat16)
+            _item = jnp.dtype(cfg.serving.dtype).itemsize
+            _bytes = sum(_np.prod(_np.shape(m)) * _item
                          for m in jax.tree_util.tree_leaves(_plan))
             if _bytes > PlanModel.FUSED_VMEM_BUDGET:
                 fallback = "fast" if mode == "fused" else "webrtc"

@@ -257,6 +257,27 @@ class TestFusedVmemGate:
                                          np.float32))
         assert out.shape == (2, cfg.dsp.hop_length)
 
+    def test_bf16_serving_halves_the_budget(self):
+        """The fused hops store matrices at the serving dtype: a wide
+        plan that exceeds the fp32 budget (137 MB) fits in bf16
+        (68 MB), so a bfloat16-configured engine stays fused."""
+        import dataclasses
+        import warnings as _w
+        from audio_denoising_tpu.config import PRESETS
+        from audio_denoising_tpu.runtime.engine import StreamEngine
+        cfg = PRESETS["gruunet2-mel128"]
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, hidden_sizes=(64,) * 4),
+            serving=dataclasses.replace(cfg.serving, dtype="bfloat16"))
+        model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+        params = model.init(jax.random.PRNGKey(0))
+        with _w.catch_warnings():
+            _w.simplefilter("error")        # no downgrade warning
+            eng = StreamEngine(cfg, model, params, mode="fused",
+                               max_streams=2, jit=False)
+        assert eng.mode == "fused"
+
 
 class TestMel128Plan:
     """The gruunet2-mel128 preset (round 3: the mel-64 basis is the

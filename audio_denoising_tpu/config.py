@@ -258,6 +258,22 @@ PRESETS: Dict[str, Config] = {
         serving=ServingConfig(state_decay=0.9, output_gain=3.0,
                               chunk_samples=512),
     ),
+    # Five-level variant (round 3, ours): the GRUUNet2 architecture is
+    # config-driven in level count, so depth is a searchable axis —
+    # 128 -> 64 -> 32 -> 16 -> 8 -> 4 compressed bins, one more
+    # stride-2 encoder/decoder pair and GRU gate than the reference's
+    # fixed four (gruunet2.py:228-244). Width experiments saturate at
+    # hidden 64 on the mel-128 basis (docs/BENCHMARKS.md); this probes
+    # the orthogonal capacity direction.
+    "gruunet2-mel128d5": Config(
+        dsp=DSPConfig(n_fft=1024, hop_length=512, n_mels=128, domain="mel",
+                      reconstruction="phase"),
+        model=ModelConfig(arch="GRUUNet2", num_compressed_bins=4,
+                          hidden_sizes=(17,) * 5, kernel_sizes=(3,) * 5,
+                          strides=(2,) * 5, paddings=(1,) * 5),
+        serving=ServingConfig(state_decay=0.9, output_gain=3.0,
+                              chunk_samples=512),
+    ),
     # Stateless magnitude U-Net (unet4) on the raw-spectrogram front-end:
     # BINS=241 = 480/2+1, win 10 ms, hop 384 (utils.py:32-37, unet4.py:32).
     # The reference ships no UNet checkpoint — train via the training CLI.

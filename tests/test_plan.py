@@ -215,6 +215,38 @@ class TestMomoPlan:
                                        atol=1e-3)
 
 
+class TestMel128D5Plan:
+    """The 5-level preset (depth axis): plan build, fused interpret and
+    the serving step must handle a level count the reference never
+    used (its GRUUNet2 is fixed 4-level, gruunet2.py:228-244)."""
+
+    def test_five_level_plan_and_serving(self, rng):
+        import dataclasses
+        from audio_denoising_tpu.config import PRESETS
+        from audio_denoising_tpu.pipeline import make_server_step
+        cfg = PRESETS["gruunet2-mel128d5"]
+        model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+        assert model.bin_sizes == [128, 64, 32, 16, 8, 4]
+        params = model.init(jax.random.PRNGKey(7))
+        plan = build_cell_plan(model, params)
+        x = jnp.asarray(rng.standard_normal((2, 128)), jnp.float32)
+        hx = jnp.asarray(rng.standard_normal((2, 17, 4)), jnp.float32)
+        y0, h0 = model.cell(params, x, hx)
+        y1, h1 = plan_cell(plan, x, hx.reshape(2, -1))
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   atol=5e-5)
+        pm = PlanModel(model, params, fused=True, interpret=True)
+        y2, h2 = pm._cell(x, hx.reshape(2, -1))
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   atol=1e-5)
+        step = jax.jit(make_server_step(cfg, model))
+        chunk = jnp.asarray(0.1 * rng.standard_normal((2, 1024)),
+                            jnp.float32)
+        h, y = step(params, model.init_state(2), chunk)
+        assert y.shape == chunk.shape
+        assert np.isfinite(np.asarray(y)).all()
+
+
 class TestFusedVmemGate:
     """Wide checkpoints whose dense plan exceeds the one-kernel VMEM
     budget (v5e: 128 MB; seen OOM at hidden 64 x mel-128 = 137 MB of

@@ -71,6 +71,13 @@ def main(argv=None) -> int:
     p.add_argument("--si-sdr-weight", type=float, default=None,
                    help="add -SI-SDR/10 to the recon_mrstft objective "
                         "(directly optimizes the headline eval metric)")
+    p.add_argument("--mrstft-weight", type=float, default=None,
+                   help="weight of the multi-resolution STFT term in the "
+                        "recon_mrstft objective (default 1.0; raise to "
+                        "lean the SI-SDR/LSD tradeoff toward spectra)")
+    p.add_argument("--wave-l1-weight", type=float, default=None,
+                   help="weight of the waveform-L1 term in the "
+                        "recon_mrstft objective (default 10.0)")
     p.add_argument("--hidden", type=int, default=None,
                    help="override the model's hidden width (uniform "
                         "across levels) — capacity-scaling experiments; "
@@ -99,6 +106,10 @@ def main(argv=None) -> int:
         overrides["snr_range_db"] = tuple(args.snr_range)
     if args.si_sdr_weight is not None:
         overrides["si_sdr_weight"] = args.si_sdr_weight
+    if args.mrstft_weight is not None:
+        overrides["mrstft_weight"] = args.mrstft_weight
+    if args.wave_l1_weight is not None:
+        overrides["wave_l1_weight"] = args.wave_l1_weight
     if overrides:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **overrides))

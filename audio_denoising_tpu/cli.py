@@ -109,6 +109,7 @@ COMMANDS = {
     "profile": "audio_denoising_tpu.apps.profile_app",
     "ws": "audio_denoising_tpu.apps.ws_serve",
     "eval": "audio_denoising_tpu.apps.evaluate",
+    "compare": "audio_denoising_tpu.apps.compare",
 }
 
 

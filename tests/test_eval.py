@@ -135,6 +135,22 @@ class TestManifestEval:
         s = _stat(x)
         assert s["n"] == 200 and s["ci95"][0] < s["mean"] < s["ci95"][1]
 
+    def test_compare_cli_self_comparison(self, tmp_path, capsys):
+        """`compare A A --manifest M` runs both evals and reports zero
+        deltas (significant: false) — end-to-end smoke of the paired
+        subcommand."""
+        import json
+        from audio_denoising_tpu.apps.compare import main as compare_main
+        p, _man = self._manifest(tmp_path)
+        rc = compare_main(["gruunet2-good", "gruunet2-good",
+                           "--manifest", p, "--bootstrap", "50"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        rep = json.loads(out[out.index("{"):])
+        for m, v in rep["delta_a_minus_b"].items():
+            assert v["mean_delta"] == 0.0
+            assert v["significant"] is False
+
     def test_paired_report_resolves_small_shift(self, tmp_path):
         """An 0.3-unit model difference invisible to unpaired CIs (the
         example spread is sigma=3) is significant in the paired test."""

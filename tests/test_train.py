@@ -185,6 +185,38 @@ class TestStatelessTraining:
         assert l2 < l1          # one step on the same batch must descend
 
 
+class TestTrainerCLIFlags:
+    def test_objective_weight_flags_reach_the_checkpoint(self, tmp_path):
+        """`train --mrstft-weight/--wave-l1-weight/--si-sdr-weight`
+        overrides must land in TrainConfig and persist into the saved
+        checkpoint config (round-3 objective-weighting surface)."""
+        import json
+        from audio_denoising_tpu.io.wavio import write_wav
+        from audio_denoising_tpu.apps.trainer import main as train_main
+        d = tmp_path / "corpus"
+        d.mkdir()
+        sr = 48000
+        t = np.arange(sr) / sr
+        write_wav(str(d / "c.wav"),
+                  (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32),
+                  sr)
+        out = str(tmp_path / "run.npz")
+        rc = train_main([
+            "--preset", "momo3-4d4ea0", "--data", str(d),
+            "--objective", "recon_mrstft", "--mrstft-weight", "2.5",
+            "--wave-l1-weight", "4.0", "--si-sdr-weight", "0.1",
+            "--iters", "1", "--batch-size", "2",
+            "--crop-samples", "4200", "--save", out])
+        assert rc == 0
+        from audio_denoising_tpu.compat.npz_store import load_params_npz
+        _params, meta = load_params_npz(out)
+        tr = meta["full_config"]["train"]
+        assert tr["mrstft_weight"] == 2.5
+        assert tr["wave_l1_weight"] == 4.0
+        assert tr["si_sdr_weight"] == 0.1
+        assert tr["objective"] == "recon_mrstft"
+
+
 class TestOrbaxBackend:
     def test_save_load_round_trip(self, tmp_path):
         import dataclasses

@@ -169,15 +169,52 @@ def build_manifest_set(manifest: dict):
 
     mixtures, cleans, gains = [], [], []
     for blk in manifest["blocks"]:
-        sampler = MixtureSampler(
-            paths, noise_paths=noise_paths, crop_samples=crop,
-            batch_size=blk["n"], noise_gain=(blk["noise_gain"],
-                                             blk["noise_gain"]),
-            seed=blk["seed"], sample_rate=src_sr)
-        m, c = sampler.sample()
-        mixtures.append(m)
-        cleans.append(c)
-        gains += [blk["noise_gain"]] * blk["n"]
+        target = blk.get("target_snr_db")
+        if target is None:
+            sampler = MixtureSampler(
+                paths, noise_paths=noise_paths, crop_samples=crop,
+                batch_size=blk["n"], noise_gain=(blk["noise_gain"],
+                                                 blk["noise_gain"]),
+                seed=blk["seed"], sample_rate=src_sr)
+            m, c = sampler.sample()
+            mixtures.append(m)
+            cleans.append(c)
+            gains += [blk["noise_gain"]] * blk["n"]
+            continue
+        # SNR-targeted block (manifest v2): amplitude-gain mixing over
+        # random crops spreads effective input SNR over tens of dB
+        # (near-silent clean crops exist in the corpus), which makes
+        # absolute means dominated by seed luck. Here the noise is
+        # rescaled per example to hit an exact input SNR, and examples
+        # whose clean crop is near-silent (SNR undefined) are redrawn
+        # deterministically.
+        got_m, got_c = [], []
+        draw = 0
+        while len(got_m) < blk["n"] and draw < 20:
+            sampler = MixtureSampler(
+                paths, noise_paths=noise_paths, crop_samples=crop,
+                batch_size=blk["n"], noise_gain=(1.0, 1.0),
+                seed=blk["seed"] + 100000 * draw, sample_rate=src_sr)
+            m, c = sampler.sample()
+            n = m - c
+            for i in range(len(m)):
+                if len(got_m) >= blk["n"]:
+                    break
+                ce = float(np.sqrt((c[i] ** 2).mean()))
+                ne = float(np.sqrt((n[i] ** 2).mean()))
+                if ce < 1e-3 or ne < 1e-8:
+                    continue                      # silent crop: redraw
+                g = ce / (ne * 10.0 ** (target / 20.0))
+                got_m.append(np.clip(c[i] + g * n[i], -1.0, 1.0))
+                got_c.append(c[i])
+            draw += 1
+        if len(got_m) < blk["n"]:
+            raise RuntimeError(
+                f"block {blk}: could not draw {blk['n']} non-silent "
+                f"crops in {draw} attempts")
+        mixtures.append(np.stack(got_m))
+        cleans.append(np.stack(got_c))
+        gains += [float(target)] * blk["n"]
     mixture = np.concatenate(mixtures)
     clean = np.concatenate(cleans)
 

@@ -135,6 +135,25 @@ class TestManifestEval:
         s = _stat(x)
         assert s["n"] == 200 and s["ci95"][0] < s["mean"] < s["ci95"][1]
 
+    def test_snr_targeted_blocks(self, tmp_path):
+        """Manifest v2 blocks: noise rescaled per example to an exact
+        input SNR; near-silent clean crops redrawn deterministically."""
+        import json
+        from audio_denoising_tpu.apps.evaluate import build_manifest_set
+        _p, man = self._manifest(tmp_path)
+        man = dict(man, blocks=[
+            {"seed": 5, "target_snr_db": 0.0, "n": 3},
+            {"seed": 6, "target_snr_db": 8.0, "n": 3}])
+        m1, c1, g1, _sr, h1 = build_manifest_set(man)
+        m2, _c2, _g2, _sr2, h2 = build_manifest_set(man)
+        assert h1 == h2                       # deterministic
+        np.testing.assert_array_equal(m1, m2)
+        n = m1 - c1
+        snr = 10 * np.log10((c1 ** 2).mean(1) / (n ** 2).mean(1))
+        np.testing.assert_allclose(snr[:3], 0.0, atol=0.5)
+        np.testing.assert_allclose(snr[3:], 8.0, atol=0.5)
+        np.testing.assert_array_equal(g1, [0.0] * 3 + [8.0] * 3)
+
     def test_compare_cli_self_comparison(self, tmp_path, capsys):
         """`compare A A --manifest M` runs both evals and reports zero
         deltas (significant: false) — end-to-end smoke of the paired

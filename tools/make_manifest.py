@@ -6,9 +6,13 @@ shipped checkpoints were trained against). The manifest stores the
 generation recipe plus a hash of the synthesized arrays so drift in the
 sampler or corpus is detected at evaluation time.
 
-v2 — 128 mixtures: the SAME blocks plus seeds 104-107 per gain, so v1
-is a strict prefix of v2 (per-example vectors stay comparable on the
-shared half) while halving the CI widths for final flagship claims.
+v2 — 128 SNR-TARGETED mixtures: 4 target input SNRs (−5/0/5/10 dB) x
+8 seeds x 4 examples, noise rescaled per example to hit the target
+exactly and near-silent clean crops redrawn. v1's amplitude-gain blocks
+spread effective input SNR over tens of dB (random crops of a corpus
+with silence), so v1 absolute means are dominated by which crops the
+seeds drew; v2 controls input difficulty, making absolute quality
+claims seed-robust. Paired comparisons work on either.
 
     python tools/make_manifest.py       ->  runs/eval_manifest_v1.json
     python tools/make_manifest.py 2     ->  runs/eval_manifest_v2.json
@@ -22,20 +26,28 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def manifest_spec(version: int) -> dict:
-    n_seeds = {1: 4, 2: 8}[version]
-    return {
+    base = {
         "version": version,
         "description": "frozen quality eval set: cats corpus + kaggle noise",
         "data_dir": "/root/reference/data/uncompressed/cats",
         "noise_dir":
             "/root/reference/data/uncompressed/kaggle_audioNoiseDataset",
         "crop_seconds": 2.0,
-        "blocks": [
+    }
+    if version == 1:
+        base["blocks"] = [
             {"seed": 100 + s, "noise_gain": g, "n": 4}
             for g in (0.5, 1.0, 2.0, 4.0)
-            for s in range(n_seeds)
-        ],
-    }
+            for s in range(4)
+        ]
+    else:
+        base["description"] += " (SNR-targeted)"
+        base["blocks"] = [
+            {"seed": 200 + s, "target_snr_db": t, "n": 4}
+            for t in (-5.0, 0.0, 5.0, 10.0)
+            for s in range(8)
+        ]
+    return base
 
 
 def main():

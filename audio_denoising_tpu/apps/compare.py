@@ -26,6 +26,18 @@ def paired_report(a_path: str, b_path: str, n_boot: int = 5000,
     per-example metric files (eval --save-per-example)."""
     a = np.load(a_path)
     b = np.load(b_path)
+    # metrics are computed at each model's own sample rate
+    # (evaluate_manifest resamples the mixtures to cfg.dsp.sample_rate), so
+    # a cross-rate pairing (e.g. trunet16k vs a 48 kHz preset) is
+    # statistically undefined — and would otherwise surface as a
+    # misleading 'inputs differ' assert on si_sdr_in
+    if "sample_rate" in a and "sample_rate" in b \
+            and int(a["sample_rate"]) != int(b["sample_rate"]):
+        raise ValueError(
+            f"models evaluated at different sample rates "
+            f"({int(a['sample_rate'])} vs {int(b['sample_rate'])} Hz); "
+            f"paired comparison undefined — evaluate both at one rate "
+            f"(e.g. a 16 kHz manifest with 16 kHz-basis models)")
     np.testing.assert_allclose(a["si_sdr_in"], b["si_sdr_in"],
                                err_msg="inputs differ: not the same "
                                        "manifest mixtures")

@@ -248,14 +248,39 @@ def evaluate_manifest(spec: str, manifest_path: str, n_boot: int = 2000,
 
     cfg, model, params = load_pretrained(spec)
     sr = cfg.dsp.sample_rate
-    if src_sr != sr:
-        mixture = np.asarray(resample(jnp.asarray(mixture), src_sr, sr))
-        clean = np.asarray(resample(jnp.asarray(clean), src_sr, sr))
-    crop = mixture.shape[-1]
+    eval_sr = manifest.get("sample_rate")
+    if eval_sr:
+        # rate-pinned manifest (VERDICT r3 #6 — the 16 kHz question): the
+        # manifest fixes the rate METRICS are computed at, so models of
+        # different native bases become comparable (and pairable). A
+        # model whose basis differs pays its resampling round trip as
+        # part of the measured quality — exactly what serving a 16 kHz
+        # stream through a 48 kHz checkpoint costs in deployment.
+        if src_sr != eval_sr:
+            mixture = np.asarray(resample(jnp.asarray(mixture),
+                                          src_sr, eval_sr))
+            clean = np.asarray(resample(jnp.asarray(clean),
+                                        src_sr, eval_sr))
+        crop = mixture.shape[-1]
+        model_in = mixture
+        if sr != eval_sr:
+            model_in = np.asarray(resample(jnp.asarray(mixture),
+                                           eval_sr, sr))
+        outs = [denoise_array(cfg, model, params, model_in[i], sr)
+                [:model_in.shape[-1]] for i in range(len(model_in))]
+        est = jnp.asarray(np.stack(outs))
+        if sr != eval_sr:
+            est = resample(est, sr, eval_sr)[..., :crop]
+        sr = eval_sr                 # metrics (and per-example npz) rate
+    else:
+        if src_sr != sr:
+            mixture = np.asarray(resample(jnp.asarray(mixture), src_sr, sr))
+            clean = np.asarray(resample(jnp.asarray(clean), src_sr, sr))
+        crop = mixture.shape[-1]
 
-    outs = [denoise_array(cfg, model, params, mixture[i], sr)[:crop]
-            for i in range(len(mixture))]
-    est = jnp.asarray(np.stack(outs))
+        outs = [denoise_array(cfg, model, params, mixture[i], sr)[:crop]
+                for i in range(len(mixture))]
+        est = jnp.asarray(np.stack(outs))
     mix = jnp.asarray(mixture)
     cl = jnp.asarray(clean)
     alpha = (cl * est).sum(-1, keepdims=True) / (
@@ -276,7 +301,7 @@ def evaluate_manifest(spec: str, manifest_path: str, n_boot: int = 2000,
         # comparisons (tools/compare_models.py) — the same 64 mixtures
         # evaluate under every model, so differences bootstrap per
         # example with the mixture-difficulty variance cancelled
-        np.savez(per_example_out, gains=gains,
+        np.savez(per_example_out, gains=gains, sample_rate=sr,
                  **{k: v.astype(np.float64) for k, v in per.items()})
 
     report = {

@@ -66,13 +66,31 @@ class SocketDaemon:
                     break
                 if isinstance(msg, str) and msg == "close":
                     break
+                # malformed payload (non-array pickle, wrong dtype/shape):
+                # isolation means a clean error reply + close of THIS
+                # connection, not a dead handler thread (the reference at
+                # least restarts its listener on any error,
+                # server.py:221-227; other connections here are unaffected)
+                try:
+                    arr = np.asarray(msg, np.float32)
+                    if arr.ndim not in (1, 2) or arr.size == 0:
+                        raise ValueError(
+                            f"expected a non-empty (n_samples, n_channels) "
+                            f"float array, got shape {arr.shape}")
+                except (TypeError, ValueError) as e:
+                    self.metrics.count("malformed")
+                    try:
+                        conn.send(f"error: malformed payload ({e})")
+                    except (OSError, BrokenPipeError):
+                        pass
+                    break
                 if self.shared_state:
                     with self._lock:
                         out, self._shared_hx = self.process(
-                            msg, self._shared_hx if self._shared_hx
+                            arr, self._shared_hx if self._shared_hx
                             is not None else hx)
                 else:
-                    out, hx = self.process(msg, hx)
+                    out, hx = self.process(arr, hx)
                 conn.send(out)
                 self.metrics.count("messages")
         finally:

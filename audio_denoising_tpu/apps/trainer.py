@@ -68,6 +68,10 @@ def main(argv=None) -> int:
                    help="SNR-targeted mixture curriculum (device-data "
                         "path): per-mixture noise gain solved to hit a "
                         "uniform SNR in [lo, hi] dB")
+    p.add_argument("--identity-prob", type=float, default=None,
+                   help="probability that a training example carries ZERO "
+                        "noise (mixture == clean): easy-input preservation "
+                        "against near-clean degradation (device-data path)")
     p.add_argument("--si-sdr-weight", type=float, default=None,
                    help="add -SI-SDR/10 to the recon_mrstft objective "
                         "(directly optimizes the headline eval metric)")
@@ -91,6 +95,37 @@ def main(argv=None) -> int:
 
     import dataclasses
     cfg: Config = PRESETS[args.preset]
+    resume_meta = None
+    if args.resume:
+        # The checkpoint's saved full_config is the source of truth on
+        # resume (mirrors the reference: the checkpoint 'config' field wins,
+        # app2.py:62-99). Rebuilding from the preset would silently switch
+        # objective/width/serving-calibration unless the user re-passed
+        # every original flag — e.g. resuming a recon_mrstft run without
+        # --objective would flip it back to residual_mse AND re-save with
+        # the preset's x3 output_gain / 0.9 state_decay, corrupting the
+        # level calibration mid-training. CLI flags still act as overrides
+        # below.
+        from audio_denoising_tpu.compat.npz_store import load_params_npz
+        import json as _json
+        try:
+            _, resume_meta = load_params_npz(args.resume)
+        except Exception:
+            resume_meta = None
+        if resume_meta and resume_meta.get("full_config"):
+            resumed_cfg = Config.from_json(
+                _json.dumps(resume_meta["full_config"]))
+            import sys as _sys
+            raw_args = argv if argv is not None else _sys.argv[1:]
+            if any(a == "--preset" or a.startswith("--preset=")
+                   for a in raw_args) and resumed_cfg != cfg:
+                print(f"note: --preset {args.preset} differs from the "
+                      f"resumed checkpoint's config; using the "
+                      f"checkpoint's (CLI flags still override)")
+            cfg = resumed_cfg
+        else:
+            print("warning: resumed checkpoint has no full_config; "
+                  f"falling back to preset {args.preset} + CLI flags")
     overrides = {}
     if args.batch_size:
         overrides["batch_size"] = args.batch_size
@@ -104,6 +139,8 @@ def main(argv=None) -> int:
         overrides["objective"] = args.objective
     if args.snr_range:
         overrides["snr_range_db"] = tuple(args.snr_range)
+    if args.identity_prob is not None:
+        overrides["identity_prob"] = args.identity_prob
     if args.si_sdr_weight is not None:
         overrides["si_sdr_weight"] = args.si_sdr_weight
     if args.mrstft_weight is not None:

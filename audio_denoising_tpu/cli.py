@@ -114,6 +114,14 @@ COMMANDS = {
 
 
 def main(argv=None) -> int:
+    import os
+    if os.environ.get("ADT_FORCE_CPU") == "1":
+        # relay-outage escape hatch: force the JAX CPU backend for any CLI
+        # command (shell-level JAX_PLATFORMS does NOT stick here — a
+        # sitecustomize re-pins the TPU platform at interpreter startup,
+        # so the override must happen in-process before any backend init)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         names = ", ".join(list(COMMANDS) + ["convert", "info", "models"])

@@ -311,6 +311,25 @@ def run_graph(graph: Graph, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarra
                        transpose=True)
         elif op == "Relu":
             out = jnp.maximum(ins[0], 0)
+        elif op == "PRelu":
+            x_, slope = jnp.asarray(ins[0]), jnp.asarray(ins[1])
+            # unidirectional broadcast from the channel axis (ONNX spec);
+            # our exports use a scalar/(1,) slope, which broadcasts plainly
+            if slope.ndim not in (0, 1) and slope.ndim != x_.ndim:
+                slope = slope.reshape((1, -1) + (1,) * (x_.ndim - 2))
+            out = jnp.maximum(x_, 0) + slope * jnp.minimum(x_, 0)
+        elif op == "InstanceNormalization":
+            x_ = jnp.asarray(ins[0], jnp.float32)
+            scale = jnp.asarray(ins[1], jnp.float32)
+            bias = jnp.asarray(ins[2], jnp.float32)
+            eps = a.get("epsilon", 1e-5)
+            axes = tuple(range(2, x_.ndim))
+            mean = x_.mean(axis=axes, keepdims=True)
+            var = ((x_ - mean) ** 2).mean(axis=axes, keepdims=True)
+            shp = (1, -1) + (1,) * (x_.ndim - 2)
+            # lax.rsqrt: bit-identical to models/unet2d.instance_norm_2d
+            out = (x_ - mean) * lax.rsqrt(var + eps) * scale.reshape(shp) \
+                + bias.reshape(shp)
         elif op == "Sigmoid":
             out = 1.0 / (1.0 + jnp.exp(-jnp.asarray(ins[0])))
         elif op == "Tanh":

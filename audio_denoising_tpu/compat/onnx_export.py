@@ -262,14 +262,125 @@ def export_gruunet_cell(model, params: Dict[str, Any], path: str) -> str:
 
 
 def export_cell(model, params: Dict[str, Any], path: str) -> str:
-    """Model-dispatching cell export: MOMO2/MOMO3 or GRUUNet2/GRUUNet."""
+    """Model-dispatching export: MOMO2/MOMO3 or GRUUNet2/GRUUNet cell
+    step, or a whole stateless UNet2d-family forward (which has no cell —
+    the artifact is the full segment model)."""
     if hasattr(model, "geo"):                      # MOMO family
         return export_momo_cell(model, params, path)
     if hasattr(model, "smears_down"):              # GRUUNet family
         return export_gruunet_cell(model, params, path)
+    if hasattr(model, "compatible_frames"):        # stateless 2D U-Nets
+        return export_unet2d(model, params, path)
     raise ValueError(
-        f"ONNX cell export supports the MOMO and GRUUNet recurrent "
-        f"families; got {type(model).__name__}")
+        f"ONNX export supports the MOMO/GRUUNet recurrent families and "
+        f"the stateless UNet2d family; got {type(model).__name__}")
+
+
+# -- stateless UNet2d export -------------------------------------------------
+
+def export_unet2d(model, params: Dict[str, Any], path: str,
+                  frames: int = None) -> str:
+    """Export a UNet2d-family forward (models/unet2d.py apply, reference
+    unet4.py:147-194) to ONNX — the stateless half of VERDICT r3 task 7.
+
+    The graph is the whole segment model (there is no recurrence/cell):
+    input ``input`` (1, bins, T) log-magnitude -> output ``output``
+    (1, bins', T') residual, inference semantics (dropout identity,
+    InstanceNorm with batch statistics — affine=False becomes
+    scale=1/bias=0 initializers). ``frames`` fixes T at export (ONNX
+    shapes here are static, like the reference's batch-1 artifacts); it
+    must be a ``compatible_frames`` value — defaults to the smallest
+    valid count ≥ 48.
+    """
+    if frames is None:
+        frames = model.compatible_frames(48)
+    else:
+        assert model.compatible_frames(frames) == frames, (
+            f"frames={frames} is not accepted by {model.arch}'s fixed "
+            f"output_padding decoder (nearest valid: "
+            f"{model.compatible_frames(frames)})")
+    bins, t = model.bins, frames
+
+    nodes: List[Node] = []
+    inits: Dict[str, np.ndarray] = {}
+
+    def add(op, name, ins, outs, **attrs):
+        nodes.append(Node(op, name, tuple(ins), tuple(outs), attrs))
+        return outs[0]
+
+    def block(x_name, layer, w, b, slope, norm, stride, op_pad, kernel,
+              transpose):
+        """Conv/ConvTranspose -> [InstanceNormalization] -> PRelu, the
+        reference block grammar (unet4.py:211-248)."""
+        inits[w] = np.asarray(params[w], np.float32)
+        inits[b] = np.asarray(params[b], np.float32)
+        kh, kw = kernel
+        if transpose:
+            conv = add("ConvTranspose", f"/{layer}/conv/ConvTranspose",
+                       [x_name, w, b], [f"{layer}_conv"],
+                       strides=list(stride), pads=[1, 1, 1, 1],
+                       output_padding=list(op_pad), kernel_shape=[kh, kw])
+            c_out = inits[w].shape[1]
+        else:
+            conv = add("Conv", f"/{layer}/conv/Conv", [x_name, w, b],
+                       [f"{layer}_conv"], strides=list(stride),
+                       pads=[1, 1, 1, 1], kernel_shape=[kh, kw])
+            c_out = inits[w].shape[0]
+        h = conv
+        if norm:
+            inits[f"{layer}_scale"] = np.ones(c_out, np.float32)
+            inits[f"{layer}_shift"] = np.zeros(c_out, np.float32)
+            h = add("InstanceNormalization", f"/{layer}/InstanceNorm",
+                    [h, f"{layer}_scale", f"{layer}_shift"],
+                    [f"{layer}_norm"], epsilon=1e-5)
+        inits[slope] = np.asarray(params[slope], np.float32)
+        return add("PRelu", f"/{layer}/PRelu", [h, slope],
+                   [f"{layer}_act"]), c_out
+
+    def _pair(v):
+        return (v, v) if isinstance(v, int) else tuple(v)
+
+    # (1, bins, T) -> (1, 1, bins, T), concat the positional smearing
+    # field (baked at the fixed T; the reference re-broadcasts per call,
+    # unet4.py:158)
+    x = add("Unsqueeze", "/Unsqueeze_x", ["input"], ["x_img"], axes=[1])
+    inits["smear"] = np.broadcast_to(
+        np.asarray(model.smear, np.float32)[None, :, :, None],
+        (1, model.chnls_gs, bins, t)).copy()
+    h = add("Concat", "/Concat_smear", [x, "smear"], ["x_in"], axis=1)
+
+    encs = []
+    for (name, _ci, _co, k, s, norm) in model.spec["downs"]:
+        h, _ = block(h, name, f"{name}.layers.0.weight",
+                     f"{name}.layers.0.bias",
+                     f"{name}.layers.{2 if norm else 1}.weight",
+                     norm, _pair(s), (0, 0), _pair(k), transpose=False)
+        encs.append(h)
+
+    n_down = len(encs)
+    h = encs[-1]
+    for i, (name, _ci, _co, k, s, op_) in enumerate(model.spec["ups"]):
+        h, _ = block(h, name, f"{name}.layers.0.weight",
+                     f"{name}.layers.0.bias", f"{name}.layers.2.weight",
+                     True, _pair(s), _pair(op_), _pair(k), transpose=True)
+        h = add("Concat", f"/{name}/Concat_skip",
+                [h, encs[n_down - 2 - i]], [f"{name}_cat"], axis=1)
+
+    name, _ci, k, s, op_ = model.spec["final"]
+    inits[f"{name}.weight"] = np.asarray(params[f"{name}.weight"],
+                                         np.float32)
+    inits[f"{name}.bias"] = np.asarray(params[f"{name}.bias"], np.float32)
+    kh, kw = _pair(k)
+    h = add("ConvTranspose", f"/{name}/conv/ConvTranspose",
+            [h, f"{name}.weight", f"{name}.bias"], ["final_conv"],
+            strides=list(_pair(s)), pads=[1, 1, 1, 1],
+            output_padding=list(_pair(op_)), kernel_shape=[kh, kw])
+    add("Squeeze", "/Squeeze_out", [h], ["output"], axes=[1])
+
+    out_bins, out_t = model._round_trip(bins, t)
+    graph = Graph(nodes, inits, [("input", (1, bins, t))], ["output"])
+    return write_onnx(graph, path,
+                      output_shapes={"output": (1, out_bins, out_t)})
 
 
 # -- MOMO cell export ------------------------------------------------------

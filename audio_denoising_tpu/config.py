@@ -181,6 +181,13 @@ class TrainConfig:
     # in [lo, hi] dB (computed from crop energies on device) instead of
     # the uniform amplitude gain — evens difficulty across the batch.
     snr_range_db: Optional[Tuple[float, float]] = None
+    # Easy-input preservation (round 4, VERDICT r3 #1): probability that
+    # a training example is mixed with ZERO noise (mixture == clean), so
+    # the model must learn identity on clean audio. Counters the causal
+    # family's near-clean degradation (-3.2 dB SI-SDR at +10 dB input on
+    # manifest v2): the SNR curriculum's gain floor (0.02) never shows
+    # the model a truly clean input, so it learns to always suppress.
+    identity_prob: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -239,6 +239,12 @@ def read_flac(path: str) -> Tuple[np.ndarray, int]:
     while pos < len(data) - 2:
         # sync: 14 bits 0b11111111111110
         if data[pos] != 0xFF or (data[pos + 1] & 0xFC) != 0xF8:
+            if not total and decoded:
+                # STREAMINFO total_samples == 0 means "unknown" (spec-legal,
+                # RFC 9639 §8.2): there is no sample-count stop condition,
+                # so trailing padding/garbage after the last decoded frame
+                # is end-of-stream, not an error
+                break
             raise ValueError(f"flac: lost frame sync at byte {pos}")
         hdr_start = pos
         br = _BitReader(data, pos)
@@ -265,7 +271,13 @@ def read_flac(path: str) -> Tuple[np.ndarray, int]:
             br.read(16)
         elif rate_code == 15:
             raise ValueError("flac: invalid sample rate code")
-        fbps = bps if bps_code == 0 else _BPS_TAB[bps_code]
+        if bps_code == 0:
+            fbps = bps
+        elif bps_code in _BPS_TAB:
+            fbps = _BPS_TAB[bps_code]
+        else:                                          # 3 is reserved
+            raise ValueError(f"flac: reserved bits-per-sample code "
+                             f"{bps_code} at byte {hdr_start}")
         # header CRC-8 covers sync..crc byte exclusive
         crc_end = br.byte_offset()
         crc = 0

@@ -88,6 +88,20 @@ class WebRTCHopState(NamedTuple):
     ang_im: jnp.ndarray   # (B, 3*FP); frame t's bins at [t*FP, t*FP+F)
 
 
+def webrtc_const_bytes(cfg: Config) -> int:
+    """VMEM bytes of this kernel's non-plan constant operands (the GL DFT
+    pair, exchange matrix, mel/inverse-mel, envelopes) — what the engine's
+    fused-mode VMEM gate must add on top of the dense plan for mode
+    'fused-webrtc' (a near-budget plan would otherwise pass the gate and
+    still OOM scoped VMEM at compile)."""
+    dsp = cfg.dsp
+    n_fft, hop, F, M = dsp.n_fft, dsp.hop_length, dsp.n_stft, dsp.n_mels
+    FP = _fpad(F)
+    return (4 * n_fft * FP * 2        # CF/SF hi+lo planes, bf16
+            + hop * hop * 2           # exchange matrix J, bf16
+            + (3 * FP + n_fft + 2 * FP + FP * M + M * FP + n_fft) * 4)
+
+
 def webrtc_hop_init_state(cfg: Config, plan, batch: int) -> WebRTCHopState:
     n_fft, FP = cfg.dsp.n_fft, _fpad(cfg.dsp.n_stft)
     return WebRTCHopState(

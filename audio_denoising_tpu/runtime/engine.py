@@ -175,12 +175,21 @@ class StreamEngine:
             _item = jnp.dtype(cfg.serving.dtype).itemsize
             _bytes = sum(_np.prod(_np.shape(m)) * _item
                          for m in jax.tree_util.tree_leaves(_plan))
+            if mode == "fused-webrtc":
+                # the webrtc kernel additionally holds its GL DFT pair,
+                # mel matrices and envelopes VMEM-resident (~19 MB at
+                # n_fft=1536) — count them or a near-budget plan passes
+                # the gate and still OOMs scoped VMEM at compile
+                from audio_denoising_tpu.ops.pallas.webrtc_hop import (
+                    webrtc_const_bytes)
+                _bytes += webrtc_const_bytes(cfg)
             if _bytes > PlanModel.FUSED_VMEM_BUDGET:
                 fallback = "fast" if mode == "fused" else "webrtc"
                 warnings.warn(
-                    f"plan weights ({_bytes / 2**20:.0f} MB fp32) exceed "
-                    f"the fused-kernel VMEM budget; engine mode "
-                    f"{mode!r} downgraded to {fallback!r}", stacklevel=2)
+                    f"fused-kernel resident operands ({_bytes / 2**20:.0f} "
+                    f"MB at serving dtype {cfg.serving.dtype}) exceed the "
+                    f"VMEM budget; engine mode {mode!r} downgraded to "
+                    f"{fallback!r}", stacklevel=2)
                 mode = self.mode = fallback
 
         if mode == "fast":

@@ -229,7 +229,9 @@ class TrainingContext:
                                      self.cfg.train.batch_size,
                                      noise_gain=tuple(noise_gain),
                                      noise_corpus=noise_corpus,
-                                     snr_range_db=snr_range_db)
+                                     snr_range_db=snr_range_db,
+                                     identity_prob=self.cfg.train
+                                     .identity_prob)
         K = steps_per_dispatch
         buf = corpus.buffer
         nbuf = noise_corpus.buffer if noise_corpus is not None else None

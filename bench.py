@@ -31,7 +31,45 @@ REF_FULL_CHAIN_MS = 33.7   # reference server.py full chain, BASELINE.md
 REF_MODEL_ONLY_MS = 8.3    # reference model-only floor (secondary)
 
 
+def _relay_health_probe(timeout_s: float = 150.0) -> str | None:
+    """Fail-fast guard: run a tiny jitted matmul in a SUBPROCESS with a hard
+    timeout before touching the backend in-process.
+
+    The relayed TPU backend has two observed failure modes (CLAUDE.md relay
+    notes): raising ``UNAVAILABLE`` at init, or hanging indefinitely
+    mid-dispatch. Either would otherwise run this benchmark into the
+    driver's multi-minute timeout. Returns None when healthy, else a short
+    reason string.
+    """
+    import subprocess
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((64, 64)); (x @ x).block_until_ready(); "
+             "print('ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return f"backend probe hung >{timeout_s:.0f}s (relay wedged)"
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()
+        return f"backend probe failed: {tail[-1] if tail else 'rc=%d' % r.returncode}"
+    return None
+
+
 def main() -> None:
+    reason = _relay_health_probe()
+    if reason is not None:
+        # One distinctive JSON line so the driver records a clean failure
+        # instead of a timeout kill (VERDICT r3 weakness #1).
+        print(json.dumps({
+            "metric": "p50_ms_per_20ms_hop_256_streams",
+            "value": None,
+            "unit": "ms",
+            "vs_baseline": None,
+            "error": f"tpu_backend_unavailable: {reason}",
+        }))
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
 

@@ -359,6 +359,50 @@ class TestFLAC:
         with pytest.raises(ValueError):
             read_flac(p)
 
+    def test_unknown_total_trailing_garbage_is_eof(self, tmp_path):
+        """STREAMINFO total_samples == 0 means 'unknown' (RFC 9639 §8.2,
+        spec-legal): trailing padding after the last frame must terminate
+        decoding cleanly, not raise 'lost frame sync' (ADVICE r3)."""
+        from tests.helpers_flacenc import write_flac
+        from audio_denoising_tpu.io.flac import read_flac
+        raw = np.round(self._tone(n=2048) * 20000).astype(np.int64)
+        p = str(tmp_path / "unk.flac")
+        write_flac(p, raw, 16000)
+        blob = bytearray(open(p, "rb").read())
+        # zero the 36-bit total_samples field: body byte 13 low nibble +
+        # bytes 14..17 (body starts at file offset 8)
+        blob[8 + 13] &= 0xF0
+        blob[8 + 14:8 + 18] = b"\x00\x00\x00\x00"
+        blob += b"\x00" * 37          # trailing padding/garbage
+        open(p, "wb").write(bytes(blob))
+        data, rate = read_flac(p)
+        got = np.round(data[0] * 32768).astype(np.int64)
+        np.testing.assert_array_equal(got, raw)   # still bit exact
+
+    def test_reserved_bps_code_raises_flac_error(self, tmp_path):
+        """A reserved bits-per-sample code (3) must raise a flac
+        ValueError, not a bare KeyError from the lookup table (ADVICE
+        r3)."""
+        from tests.helpers_flacenc import write_flac, _CRC8
+        from audio_denoising_tpu.io.flac import read_flac
+        raw = np.round(self._tone(n=1024) * 20000).astype(np.int64)
+        p = str(tmp_path / "rbps.flac")
+        write_flac(p, raw, 16000, block=1024)
+        blob = bytearray(open(p, "rb").read())
+        i = blob.index(b"\xff\xf8", 4)
+        # frame byte 3 = ch_code(4) | bps_code(3) | reserved(1): set the
+        # reserved bps code 3 and recompute the header CRC-8 so the error
+        # exercised is the bps check, not the CRC check (header = 4 fixed
+        # bytes + 1 UTF-8 frame number + 2 block-size bytes, then CRC-8)
+        blob[i + 3] = (blob[i + 3] & 0xF1) | (3 << 1)
+        crc = 0
+        for b in blob[i:i + 7]:
+            crc = _CRC8[crc ^ b]
+        blob[i + 7] = crc
+        open(p, "wb").write(bytes(blob))
+        with pytest.raises(ValueError, match="bits-per-sample"):
+            read_flac(p)
+
     def test_dispatch_listing_and_cache(self, tmp_path):
         from tests.helpers_flacenc import write_flac
         from audio_denoising_tpu.io.codec import (

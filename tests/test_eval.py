@@ -207,3 +207,35 @@ class TestManifestEval:
         assert set(rep["by_noise_gain"]) == {"0.5", "1.0"}
         per = np.load(pe)
         assert per["si_sdr_out"].shape == (6,)
+        # per-example files record the metric rate (round 4: required for
+        # cross-rate pairing guards) — no pin, so the model's own 48 kHz
+        assert int(per["sample_rate"]) == 48000
+
+    def test_rate_pinned_manifest_and_pairing_guard(self, tmp_path):
+        """Round 4 (VERDICT r3 #6 + ADVICE): a manifest with
+        "sample_rate" computes metrics at THAT rate for every model (a
+        different-basis model pays its resample round trip), so paired
+        comparison across bases is defined; and pairing files evaluated
+        at different rates raises the dedicated error."""
+        import json
+        import pytest
+        from audio_denoising_tpu.apps.evaluate import evaluate_manifest
+        from audio_denoising_tpu.apps.compare import paired_report
+        p, man = self._manifest(tmp_path)
+        man16 = dict(man, sample_rate=16000)
+        p16 = tmp_path / "man16.json"
+        p16.write_text(json.dumps(man16))
+        pe48 = str(tmp_path / "pe48.npz")
+        pe16 = str(tmp_path / "pe16.npz")
+        rep = evaluate_manifest("gruunet2-good", str(p16), n_boot=100,
+                                per_example_out=pe16)
+        assert rep["n_examples"] == 6
+        assert np.isfinite(rep["metrics"]["si_sdr_improvement"]["mean"])
+        assert int(np.load(pe16)["sample_rate"]) == 16000
+        evaluate_manifest("gruunet2-good", p, n_boot=100,
+                          per_example_out=pe48)
+        with pytest.raises(ValueError, match="different sample rates"):
+            paired_report(pe16, pe48)
+        # same pinned rate pairs fine (self-comparison: zero deltas)
+        out = paired_report(pe16, pe16, n_boot=50)
+        assert all(v["mean_delta"] == 0.0 for v in out.values())

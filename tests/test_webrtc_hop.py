@@ -192,10 +192,14 @@ class TestEngineWebRTCFused:
             wh.make_webrtc_hop = orig
 
 
+@pytest.mark.slow
 class TestLongHorizonLocks:
     """VERDICT r2 task 8: kernel-drift locks that cannot hide behind the
     phase-chaos argument — 40-hop magnitude + hx trajectory, and a 6-hop
-    waveform lock at the kernel's fp32 GL-32 operating point."""
+    waveform lock at the kernel's fp32 GL-32 operating point.
+
+    Marked `slow` (~6 min in interpret mode): deselected by default,
+    run with `pytest -m ''` or `-m slow`."""
 
     def test_40_hop_magnitude_and_hx_trajectory(self, rng):
         """Over 40 hops the fused kernel must track the op-by-op path on

@@ -154,6 +154,64 @@ class TestWSDaemon:
         assert daemon.engine.active_streams == 0
 
 
+class TestWSChurnSoak:
+    """Round 4 (VERDICT r3 #5): ws daemon under connection churn —
+    clients connect, stream, and vanish (some abruptly) while a
+    persistent client keeps streaming; the daemon must stay alive, keep
+    serving, and leak no slots."""
+
+    def test_connection_churn_no_slot_leak(self):
+        import json
+        from audio_denoising_tpu.apps.ws_serve import WSDaemon
+        d = WSDaemon("gruunet2-good", "localhost", 28769, max_streams=4,
+                     tick_ms=0.5)
+        t = threading.Thread(target=d.serve_forever, daemon=True)
+        t.start()
+        time.sleep(0.5)
+        hop = d.hop
+        rng = np.random.default_rng(3)
+        try:
+            persistent = _client_connect(("localhost", 28769))
+            persistent.settimeout(30)
+            for round_i in range(15):
+                # churner: connect, stream 2 hops, then half the time
+                # close abruptly (no close frame) — the daemon must reap
+                s = _client_connect(("localhost", 28769))
+                pcm = (np.clip(0.1 * rng.standard_normal(hop * 2), -1, 1)
+                       * 32767).astype(np.int16)
+                _client_send(s, pcm.tobytes())
+                if round_i % 2 == 0:
+                    s.settimeout(30)
+                    got = b""
+                    while len(got) < hop * 2 * 2:
+                        _fin, op, payload = ws.recv_frame(s)
+                        if op == ws.OP_BINARY:
+                            got += payload
+                s.close()                      # abrupt for odd rounds
+                # the persistent stream keeps flowing through the churn
+                pcm = (np.clip(0.1 * rng.standard_normal(hop), -1, 1)
+                       * 32767).astype(np.int16)
+                _client_send(persistent, pcm.tobytes())
+                got = b""
+                while len(got) < hop * 2:
+                    _fin, op, payload = ws.recv_frame(persistent)
+                    if op == ws.OP_BINARY:
+                        got += payload
+            # only the persistent stream may remain
+            _client_send(persistent, b"stats", ws.OP_TEXT)
+            while True:
+                _fin, op, payload = ws.recv_frame(persistent)
+                if op == ws.OP_TEXT:
+                    break
+            stats = json.loads(payload)
+            assert stats["active_streams"] <= 2   # persistent + 1 in reap
+            persistent.close()
+            time.sleep(1.0)
+            assert d.engine.active_streams == 0   # no slot leak
+        finally:
+            d.stop()
+
+
 class TestPipelinedFirstFrame:
     def test_frame_behind_handshake_not_lost(self, ):
         """Regression: a client coalescing the upgrade request and its

@@ -14,8 +14,20 @@ with silence), so v1 absolute means are dominated by which crops the
 seeds drew; v2 controls input difficulty, making absolute quality
 claims seed-robust. Paired comparisons work on either.
 
+v3 — the v2 design pinned to 16 kHz ("sample_rate": 16000): metrics are
+computed at 16 kHz for EVERY model (a 48 kHz-basis model pays its
+resampling round trip), making model families with different native
+bases comparable AND pairable — the BASELINE north star speaks 256 x
+16 kHz streams (VERDICT r3 task 6). Mixture synthesis (and the frozen
+hash) stay at the corpus rate; only the metric rate is pinned.
+
+NOTE (ADVICE r3): v1 is NOT a prefix of v2 — the prefix-property draft
+of v2 was replaced by the SNR-targeted design (seeds 200-207). Never
+pair per-example vectors across manifest versions.
+
     python tools/make_manifest.py       ->  runs/eval_manifest_v1.json
     python tools/make_manifest.py 2     ->  runs/eval_manifest_v2.json
+    python tools/make_manifest.py 3     ->  runs/eval_manifest_v3_16k.json
 """
 
 import json
@@ -47,6 +59,9 @@ def manifest_spec(version: int) -> dict:
             for t in (-5.0, 0.0, 5.0, 10.0)
             for s in range(8)
         ]
+    if version == 3:
+        base["description"] += ", metrics pinned to 16 kHz"
+        base["sample_rate"] = 16000
     return base
 
 
@@ -60,8 +75,9 @@ def main():
     _, _, _, _, digest2 = build_manifest_set(manifest)
     assert digest == digest2, "manifest generation is not deterministic"
     manifest["sha256_16"] = digest
-    out = os.path.join(os.path.dirname(__file__), "..", "runs",
-                       f"eval_manifest_v{version}.json")
+    name = (f"eval_manifest_v{version}_16k.json" if version == 3
+            else f"eval_manifest_v{version}.json")
+    out = os.path.join(os.path.dirname(__file__), "..", "runs", name)
     with open(out, "w") as f:
         json.dump(manifest, f, indent=1)
     print(f"wrote {out}: {len(mixture)} mixtures @ {sr} Hz, hash {digest}")

@@ -250,6 +250,7 @@ def parse_onnx(path: str) -> Graph:
 
 def run_graph(graph: Graph, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Eager-execute the graph with numpy/jax ops; returns outputs dict."""
+    import jax
     import jax.numpy as jnp
     from jax import lax
 
@@ -265,8 +266,9 @@ def run_graph(graph: Graph, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarra
         if attrs.get("auto_pad") not in (None, "NOTSET"):
             raise NotImplementedError(
                 f"ONNX conv auto_pad {attrs['auto_pad']!r}")
-        if attrs.get("group", 1) != 1:
-            raise NotImplementedError("grouped ONNX conv")
+        group = attrs.get("group", 1)
+        if transpose and group != 1:
+            raise NotImplementedError("grouped ONNX ConvTranspose")
         strides = tuple(attrs.get("strides", [1] * (x.ndim - 2)))
         pads = attrs.get("pads")
         rank = x.ndim - 2
@@ -290,6 +292,7 @@ def run_graph(graph: Graph, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarra
         else:
             y = lax.conv_general_dilated(
                 x, w, window_strides=strides, padding=padding,
+                feature_group_count=group,
                 dimension_numbers=_dims(rank))
         if b is not None:
             y = y + jnp.asarray(b, jnp.float32).reshape(
@@ -318,6 +321,60 @@ def run_graph(graph: Graph, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarra
             if slope.ndim not in (0, 1) and slope.ndim != x_.ndim:
                 slope = slope.reshape((1, -1) + (1,) * (x_.ndim - 2))
             out = jnp.maximum(x_, 0) + slope * jnp.minimum(x_, 0)
+        elif op == "BatchNormalization":
+            # inference mode: stored running statistics
+            x_ = jnp.asarray(ins[0], jnp.float32)
+            scale, bias, mean, var = (jnp.asarray(v, jnp.float32)
+                                      for v in ins[1:5])
+            eps = a.get("epsilon", 1e-5)
+            shp = (1, -1) + (1,) * (x_.ndim - 2)
+            # lax.rsqrt: bit-identical to models/trunet.batch_norm_1d
+            out = (x_ - mean.reshape(shp)) \
+                * lax.rsqrt(var.reshape(shp) + eps) \
+                * scale.reshape(shp) + bias.reshape(shp)
+        elif op == "GRU":
+            # torch-semantics GRU (linear_before_reset=1): X (T, B, I),
+            # W (D, 3H, I), R (D, 3H, H), B (D, 6H) in ONNX gate order
+            # z, r, h. Gate math mirrors models/gru.gru_cell expression
+            # for expression so round-trips are bit-exact.
+            X = jnp.asarray(ins[0], jnp.float32)
+            W = jnp.asarray(ins[1], jnp.float32)
+            Rm = jnp.asarray(ins[2], jnp.float32)
+            hidden = a["hidden_size"]
+            if a.get("linear_before_reset", 0) != 1:
+                raise NotImplementedError(
+                    "ONNX GRU with linear_before_reset=0 (torch exports "
+                    "use 1)")
+            n_dir = W.shape[0]
+            Bv = (jnp.asarray(ins[3], jnp.float32)
+                  if len(ins) > 3 and ins[3] is not None
+                  else jnp.zeros((n_dir, 6 * hidden), jnp.float32))
+            direction = a.get("direction", "forward")
+            T, Bsz, _ = X.shape
+            ys = []
+            h_fin = []
+            # delegate to models/gru.gru_layer (ONNX z,r,h rows reordered
+            # back to torch r,z,n): the scan-compiled body is the same
+            # XLA computation the jax models run, so round trips are
+            # bit-exact (an eager per-step loop differs by ~1 ulp/step
+            # from the fused scan body)
+            from audio_denoising_tpu.models.gru import gru_layer
+            H = hidden
+            rzn = lambda m: jnp.concatenate([m[H:2 * H], m[:H], m[2 * H:]])
+            for d in range(n_dir):
+                rev = (direction == "reverse") or d == 1
+                w_ih, w_hh = rzn(W[d]), rzn(Rm[d])
+                b_ih, b_hh = rzn(Bv[d][:3 * H]), rzn(Bv[d][3 * H:])
+                xbtc = jnp.swapaxes(X, 0, 1)        # (B, T, I)
+                ybtc, h = gru_layer(xbtc, jnp.zeros((Bsz, H), jnp.float32),
+                                    w_ih, b_ih, w_hh, b_hh, reverse=rev)
+                ys.append(jnp.swapaxes(ybtc, 0, 1))  # (T, B, H)
+                h_fin.append(h)
+            Y = jnp.stack(ys, axis=1)               # (T, D, B, H)
+            env[node.outputs[0]] = Y
+            if len(node.outputs) > 1 and node.outputs[1]:
+                env[node.outputs[1]] = jnp.stack(h_fin)   # (D, B, H)
+            continue
         elif op == "InstanceNormalization":
             x_ = jnp.asarray(ins[0], jnp.float32)
             scale = jnp.asarray(ins[1], jnp.float32)

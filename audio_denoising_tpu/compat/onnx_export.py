@@ -269,11 +269,13 @@ def export_cell(model, params: Dict[str, Any], path: str) -> str:
         return export_momo_cell(model, params, path)
     if hasattr(model, "smears_down"):              # GRUUNet family
         return export_gruunet_cell(model, params, path)
+    if hasattr(model, "net") or hasattr(model, "fgru"):   # TRUNet
+        return export_trunet(model, params, path)
     if hasattr(model, "compatible_frames"):        # stateless 2D U-Nets
         return export_unet2d(model, params, path)
     raise ValueError(
-        f"ONNX export supports the MOMO/GRUUNet recurrent families and "
-        f"the stateless UNet2d family; got {type(model).__name__}")
+        f"ONNX export supports the MOMO/GRUUNet recurrent families, the "
+        f"stateless UNet2d family and TRUNet; got {type(model).__name__}")
 
 
 # -- stateless UNet2d export -------------------------------------------------
@@ -381,6 +383,197 @@ def export_unet2d(model, params: Dict[str, Any], path: str,
     graph = Graph(nodes, inits, [("input", (1, bins, t))], ["output"])
     return write_onnx(graph, path,
                       output_shapes={"output": (1, out_bins, out_t)})
+
+
+# -- TRUNet export -----------------------------------------------------------
+
+def export_trunet(model, params: Dict[str, Any], path: str,
+                  bins: int = None) -> str:
+    """Export the TRUNet core forward (models/trunet.py apply; vendored
+    reference model trunet.py:122-158) to ONNX: ``input`` (1, 4, bins) ->
+    ``output`` (1, 5, bins), the contract the reference's own smoke test
+    defines (trunet.py:160-168). Completes the writer's zoo coverage —
+    depthwise convs ride Conv ``group``, BatchNorm rides inference-mode
+    BatchNormalization, the F/T GRU blocks ride the ONNX ``GRU`` op with
+    ``linear_before_reset=1`` (the torch GRU semantics; torch's r,z,n
+    gate packing is reordered to ONNX's z,r,h at export).
+
+    ``model`` may be the TRUNet core or the TRUNetDenoiser adapter (the
+    adapter's featurization is framework-side, not part of the artifact).
+    """
+    net = getattr(model, "net", model)
+    if bins is None:
+        bins = getattr(model, "num_bins", 257)
+
+    nodes: List[Node] = []
+    inits: Dict[str, np.ndarray] = {}
+
+    def add(op, name, ins, outs, **attrs):
+        nodes.append(Node(op, name, tuple(ins), tuple(outs), attrs))
+        return outs[0]
+
+    def put(name):
+        inits[name] = np.asarray(params[name], np.float32)
+        return name
+
+    def bn(x, name, tag, ch_len):
+        for suf in ("weight", "bias", "running_mean", "running_var"):
+            put(f"{name}.{suf}")
+        return add("BatchNormalization", f"/{tag}/BatchNorm",
+                   [x, f"{name}.weight", f"{name}.bias",
+                    f"{name}.running_mean", f"{name}.running_var"],
+                   [f"{tag}_bn"], epsilon=1e-5)
+
+    def relu(x, tag):
+        return add("Relu", f"/{tag}/Relu", [x], [f"{tag}_act"])
+
+    def conv(x, wname, tag, k, s, p, group=1):
+        put(wname + ".weight")
+        put(wname + ".bias")
+        return add("Conv", f"/{tag}/Conv",
+                   [x, wname + ".weight", wname + ".bias"], [f"{tag}_conv"],
+                   strides=[s], pads=[p, p], kernel_shape=[k], group=group)
+
+    def convT(x, wname, tag, k, s, p):
+        put(wname + ".weight")
+        put(wname + ".bias")
+        return add("ConvTranspose", f"/{tag}/ConvTranspose",
+                   [x, wname + ".weight", wname + ".bias"], [f"{tag}_convt"],
+                   strides=[s], pads=[p, p], output_padding=[0],
+                   kernel_shape=[k])
+
+    def conv_len(L, k, s, p):
+        return (L + 2 * p - k) // s + 1
+
+    # ---- encoder (sizes tracked statically; bins=257 -> ... -> 17) ----
+    x = "input"
+    L = bins
+    skips = []                        # [(name, channels, length)]
+    (name, cin, cout, k, s, _kind) = net.DOWNS[0]
+    x = conv(x, f"{name}.StandardConv1d.0", name, k, s, s // 2)
+    x = relu(x, name)
+    L = conv_len(L, k, s, s // 2)
+    skips.append((x, cout, L))
+    for (name, cin, cout, k, s, _kind) in net.DOWNS[1:]:
+        seq = f"{name}.DepthwiseSeparableConv1d"
+        x = conv(x, f"{seq}.0", f"{name}_pw", 1, 1, 0)
+        x = relu(bn(x, f"{seq}.1", f"{name}_pw", cout), f"{name}_pw")
+        x = conv(x, f"{seq}.3", f"{name}_dw", k, s, k // 2, group=cout)
+        x = relu(bn(x, f"{seq}.4", f"{name}_dw", cout), f"{name}_dw")
+        L = conv_len(L, k, s, k // 2)
+        skips.append((x, cout, L))
+
+    def pack_gru(prefix, n_dir, hidden, in_sz, tag):
+        """torch (r,z,n) -> ONNX (z,r,h) packing as W/R/B initializers."""
+        Ws, Rs, Bs = [], [], []
+        for d in range(n_dir):
+            sfx = "_reverse" if d == 1 else ""
+            w_ih = np.asarray(params[f"{prefix}weight_ih_l0{sfx}"],
+                              np.float32)
+            w_hh = np.asarray(params[f"{prefix}weight_hh_l0{sfx}"],
+                              np.float32)
+            b_ih = np.asarray(params[f"{prefix}bias_ih_l0{sfx}"],
+                              np.float32)
+            b_hh = np.asarray(params[f"{prefix}bias_hh_l0{sfx}"],
+                              np.float32)
+            H = hidden
+            zrh = lambda m: np.concatenate([m[H:2 * H], m[:H], m[2 * H:]])
+            Ws.append(zrh(w_ih))
+            Rs.append(zrh(w_hh))
+            Bs.append(np.concatenate([zrh(b_ih), zrh(b_hh)]))
+        inits[f"{tag}_W"] = np.stack(Ws)
+        inits[f"{tag}_R"] = np.stack(Rs)
+        inits[f"{tag}_B"] = np.stack(Bs)
+        return f"{tag}_W", f"{tag}_R", f"{tag}_B"
+
+    # ---- FGRU: bidirectional over the compressed frequency axis ----
+    # x: (1, 128, L) -> GRU X (L, 1, 128)
+    xg = add("Transpose", "/FGRU/Transpose_in", [x], ["fgru_x"],
+             perm=[2, 0, 1])
+    Wn, Rn, Bn = pack_gru(net.fgru.prefix, 2, net.fgru.hidden_size,
+                          net.fgru.input_size, "fgru")
+    nodes.append(Node("GRU", "/FGRU/GRU", (xg, Wn, Rn, Bn),
+                      ("fgru_Y", "fgru_Yh"),
+                      {"hidden_size": net.fgru.hidden_size,
+                       "direction": "bidirectional",
+                       "linear_before_reset": 1}))
+    # Y (L, 2, 1, 64) -> (1, L, 128) -> (1, 128, L): torch's
+    # bidirectional output concatenates the directions on the feature
+    # axis, which the (L, 2*64) reshape reproduces exactly
+    y = add("Transpose", "/FGRU/Transpose_y", ["fgru_Y"], ["fgru_yt"],
+            perm=[2, 0, 1, 3])
+    inits["fgru_shape"] = np.asarray([1, L, 2 * net.fgru.hidden_size],
+                                     np.int64)
+    y = add("Reshape", "/FGRU/Reshape", [y, "fgru_shape"], ["fgru_flat"])
+    y = add("Transpose", "/FGRU/Transpose_out", [y], ["fgru_img"],
+            perm=[0, 2, 1])
+    y = conv(y, "FGRU.conv.0", "FGRU_c", 1, 1, 0)
+    x = relu(bn(y, "FGRU.conv.1", "FGRU_c", 64), "FGRU_c")
+
+    # ---- TGRU: unidirectional over the same axis ----
+    xg = add("Transpose", "/TGRU/Transpose_in", [x], ["tgru_x"],
+             perm=[2, 0, 1])
+    Wn, Rn, Bn = pack_gru(net.tgru.prefix, 1, net.tgru.hidden_size,
+                          net.tgru.input_size, "tgru")
+    nodes.append(Node("GRU", "/TGRU/GRU", (xg, Wn, Rn, Bn),
+                      ("tgru_Y", "tgru_Yh"),
+                      {"hidden_size": net.tgru.hidden_size,
+                       "direction": "forward",
+                       "linear_before_reset": 1}))
+    inits["tgru_shape"] = np.asarray([L, net.tgru.hidden_size], np.int64)
+    y = add("Reshape", "/TGRU/Reshape", ["tgru_Y", "tgru_shape"],
+            ["tgru_flat"])
+    y = add("Transpose", "/TGRU/Transpose_y", [y], ["tgru_t"], perm=[1, 0])
+    y = add("Unsqueeze", "/TGRU/Unsqueeze", [y], ["tgru_img"], axes=[0])
+    y = conv(y, "TGRU.conv.0", "TGRU_c", 1, 1, 0)
+    x = relu(bn(y, "TGRU.conv.1", "TGRU_c", 64), "TGRU_c")
+
+    # ---- decoder with pad/crop skip concats (trunet.py:95-98) ----
+    def pad_cat(x, x_len, skip, skip_ch, skip_len, ch, tag):
+        """Match x's length to the skip's (F.pad semantics: negative pads
+        crop), then concat channels."""
+        diff = skip_len - x_len
+        left, right = diff // 2, diff - diff // 2
+        if left < 0 or right < 0:
+            inits[f"{tag}_starts"] = np.asarray([max(0, -left)], np.int64)
+            inits[f"{tag}_ends"] = np.asarray([x_len - max(0, -right)],
+                                              np.int64)
+            inits[f"{tag}_axes"] = np.asarray([2], np.int64)
+            x = add("Slice", f"/{tag}/Slice",
+                    [x, f"{tag}_starts", f"{tag}_ends", f"{tag}_axes"],
+                    [f"{tag}_crop"])
+            x_len = x_len - max(0, -left) - max(0, -right)
+            left, right = max(0, left), max(0, right)
+        parts = [x]
+        if left > 0:
+            inits[f"{tag}_zl"] = np.zeros((1, ch, left), np.float32)
+            parts = [f"{tag}_zl"] + parts
+        if right > 0:
+            inits[f"{tag}_zr"] = np.zeros((1, ch, right), np.float32)
+            parts = parts + [f"{tag}_zr"]
+        if len(parts) > 1:
+            x = add("Concat", f"/{tag}/Concat_pad", parts, [f"{tag}_pad"],
+                    axis=2)
+        return add("Concat", f"/{tag}/Concat_skip", [x, skip],
+                   [f"{tag}_cat"], axis=1), skip_len
+
+    for i, (name, cin, cout, k, s, kind) in enumerate(net.UPS):
+        seq = {"first": f"{name}.FirstTrCNN", "mid": f"{name}.TrCNN",
+               "last": f"{name}.LastTrCNN"}[kind]
+        if kind != "first":
+            skip, skip_ch, skip_len = skips[len(net.UPS) - 1 - i]
+            x, L = pad_cat(x, L, skip, skip_ch, skip_len,
+                           cin - skip_ch, name)
+        x = conv(x, f"{seq}.0", f"{name}_pw", 1, 1, 0)
+        x = relu(bn(x, f"{seq}.1", f"{name}_pw", cout), f"{name}_pw")
+        x = convT(x, f"{seq}.3", f"{name}_tr", k, s, s // 2)
+        L = (L - 1) * s - 2 * (s // 2) + k
+        if kind != "last":
+            x = relu(bn(x, f"{seq}.4", f"{name}_tr", cout), f"{name}_tr")
+    add("Identity", "/output", [x], ["output"])
+
+    graph = Graph(nodes, inits, [("input", (1, 4, bins))], ["output"])
+    return write_onnx(graph, path, output_shapes={"output": (1, 5, L)})
 
 
 # -- MOMO cell export ------------------------------------------------------

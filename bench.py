@@ -204,12 +204,68 @@ def main() -> None:
     if os.environ.get("ADT_BENCH_VARIANTS") == "1":
         _bench_variants(cfg, model, params, chunks, K, hop)
 
-    print(json.dumps({
+    # Driver-capturable secondary (VERDICT r3 #3): the QUALITY flagship
+    # (mel-128 hidden-64 recon-mrstft) served through the one-kernel bf16
+    # fused hop — the fp32 plan exceeds VMEM; bf16 halves it and fits
+    # (round-3 builder-reported 0.18 ms/hop; this records it through the
+    # driver's own run). Never fails the headline: errors go to stderr.
+    flagship_p50 = None
+    try:
+        flagship_p50 = _bench_wide_flagship(K)
+    except Exception as e:                    # pragma: no cover
+        print(f"wide-flagship variant skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    row = {
         "metric": "p50_ms_per_20ms_hop_256_streams",
         "value": round(p50, 4),
         "unit": "ms",
         "vs_baseline": round(REF_FULL_CHAIN_MS / p50, 3),
-    }))
+    }
+    if flagship_p50 is not None:
+        row["p50_ms_wide_flagship_bf16_fused"] = round(flagship_p50, 4)
+    print(json.dumps(row))
+
+
+def _bench_wide_flagship(K: int) -> float:
+    """p50 ms/hop of runs/gruunet2mel128w64-mrstft-50k.npz (the quality
+    flagship) through the bf16 one-kernel fused hop at 256 streams."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from audio_denoising_tpu.hub import load_pretrained
+    from audio_denoising_tpu.ops.pallas.fused_hop import (
+        fused_hop_init_state, make_fused_hop)
+    from audio_denoising_tpu.runtime.plan import build_cell_plan
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "runs", "gruunet2mel128w64-mrstft-50k.npz")
+    cfg, model, params = load_pretrained(path)
+    cfg = dataclasses.replace(
+        cfg, serving=dataclasses.replace(cfg.serving,
+                                         max_streams=N_STREAMS))
+    plan = build_cell_plan(model, params)
+    hop = cfg.dsp.hop_length
+    step = jax.jit(make_fused_hop(cfg, plan, hops_per_call=K,
+                                  compute_dtype=jnp.bfloat16))
+    state0 = fused_hop_init_state(cfg, plan, N_STREAMS)
+    rng = np.random.default_rng(1)
+    chunks = jnp.asarray(rng.standard_normal((K, N_STREAMS, hop)) * 0.1,
+                         jnp.float32)
+    for _ in range(3):
+        _s, out = step(state0, chunks)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        _s, out = step(state0, chunks)
+        jax.block_until_ready(out)
+        ts.append((time.perf_counter() - t0) * 1e3 / K)
+    p50 = float(np.percentile(ts, 50))
+    print(f"variant=wide_flagship_bf16_fused p50={p50:.3f}ms "
+          f"(mel-128 hidden-64 quality flagship, 512-sample hop @48 kHz, "
+          f"{N_STREAMS} streams)", file=sys.stderr)
+    return p50
 
 
 def _bench_variants(cfg, model, params, chunks, K, hop):

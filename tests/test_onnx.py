@@ -253,6 +253,48 @@ class TestUNet2dExport:
         y = model.apply(params, jnp.asarray(x))
         np.testing.assert_array_equal(out["output"], np.asarray(y))
 
+    def test_trunet_roundtrip_bitexact(self, tmp_path, rng):
+        """TRUNet completes the writer's zoo coverage: depthwise convs
+        (Conv group), inference BatchNormalization, and the F/T GRU
+        blocks as ONNX GRU (linear_before_reset=1, torch r,z,n packing
+        reordered to z,r,h) — bit-exact round trip vs the jax forward."""
+        import jax
+        from audio_denoising_tpu.compat.onnx import parse_onnx, run_graph
+        from audio_denoising_tpu.compat.onnx_export import export_cell
+        from audio_denoising_tpu.models.trunet import TRUNet
+        net = TRUNet()
+        params = net.init(jax.random.PRNGKey(7))
+        p = str(tmp_path / "trunet.onnx")
+        export_cell(net, params, p)
+        g = parse_onnx(p)
+        x = (0.3 * rng.standard_normal((1, 4, 257))).astype(np.float32)
+        out = run_graph(g, {"input": x})
+        y = net.apply(params, jnp.asarray(x))
+        assert out["output"].shape == (1, 5, 257)
+        np.testing.assert_array_equal(out["output"], np.asarray(y))
+
+    def test_trained_trunet_checkpoint_exports(self, tmp_path):
+        """`convert runs/trunet-realnoise.npz out.onnx` works on the
+        trained 16 kHz champion (the TRUNetDenoiser adapter exports its
+        core net; featurization is framework-side by design)."""
+        import os
+        from audio_denoising_tpu.compat.onnx import parse_onnx, run_graph
+        from audio_denoising_tpu.compat.onnx_export import export_cell
+        from audio_denoising_tpu.hub import load_pretrained
+        ckpt = os.path.join(os.path.dirname(__file__), "..", "runs",
+                            "trunet-realnoise.npz")
+        if not os.path.exists(ckpt):
+            pytest.skip("trained trunet checkpoint not present")
+        _cfg, model, params = load_pretrained(ckpt)
+        p = str(tmp_path / "trunet-good.onnx")
+        export_cell(model, params, p)
+        g = parse_onnx(p)
+        x = (0.1 * np.random.default_rng(0).standard_normal(
+            (1, 4, 257))).astype(np.float32)
+        out = run_graph(g, {"input": x})
+        y = model.net.apply(params, jnp.asarray(x))
+        np.testing.assert_array_equal(out["output"], np.asarray(y))
+
     def test_trained_unet4_checkpoint_exports(self, tmp_path):
         """`convert runs/unet4-mrstft-30k.npz out.onnx` works on the real
         trained champion weights."""

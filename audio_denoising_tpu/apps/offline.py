@@ -26,7 +26,10 @@ def _jitted_chain(cfg: Config, model, sample_rate: int):
     denoise, de-norm): eager dispatch is prohibitive on a remote-attached
     TPU (~30 ms per op round trip), so nothing runs outside jit. Cached per
     (model, input rate); jit itself caches per input length."""
-    key = (id(model), cfg.dsp, sample_rate)
+    # serving config participates in the chain too (snr gate, gains):
+    # keying only on dsp silently reused a stale graph across serving
+    # overrides (round-4 bug found by the gate tuning sweep)
+    key = (id(model), cfg.dsp, cfg.serving, sample_rate)
     if key not in _JIT_CACHE:
         def chain(params, x):
             # Offline mode is the parity surface (<=1e-3 vs the torch

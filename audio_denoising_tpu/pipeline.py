@@ -63,6 +63,29 @@ def _to_linear(cfg: Config, feat_out: jnp.ndarray, inv) -> jnp.ndarray:
     return inverse_mel_scale(lin, inv)
 
 
+def _apply_snr_gate(cfg: Config, mag: jnp.ndarray,
+                    lin_mag: jnp.ndarray) -> jnp.ndarray:
+    """SNR-gated output blend (ServingConfig.snr_gate_db; rationale in
+    ops/noisefloor.py): per-frame alpha in [0, 1] from a causal
+    noise-floor tracker; near-clean frames lean toward the INPUT
+    magnitude (with the reused noisy phase, passthrough-exact). No-op
+    when the gate is unset."""
+    if cfg.serving.snr_gate_db is None:
+        return lin_mag
+    from audio_denoising_tpu.ops.noisefloor import (
+        floor_rise_per_frame, gate_alpha, noise_floor_scan,
+        smooth_beta_per_frame, snr_db_from_floor, total_beta_per_frame)
+    power = mag * mag
+    hop, sr = cfg.dsp.hop_length, cfg.dsp.sample_rate
+    floors, totals, _ = noise_floor_scan(
+        power, floor_rise_per_frame(hop, sr),
+        smooth_beta_per_frame(hop, sr), total_beta_per_frame(hop, sr))
+    snr = snr_db_from_floor(totals, jnp.mean(floors, axis=-2))  # (B, T)
+    alpha = gate_alpha(snr, cfg.serving.snr_gate_db,
+                       cfg.serving.snr_gate_width_db)[:, None, :]
+    return alpha * lin_mag + (1.0 - alpha) * mag
+
+
 # --------------------------------------------------------------------------
 # Offline full-file denoise
 # --------------------------------------------------------------------------
@@ -88,6 +111,7 @@ def offline_denoise(cfg: Config, model, params, audio: jnp.ndarray,
     resid, _ = model.apply(params, x, hx)
     recon = jax.nn.leaky_relu(x - resid, negative_slope=0.2)
     lin_mag = _to_linear(cfg, jnp.swapaxes(recon, -1, -2), inv)  # (B, F, T)
+    lin_mag = _apply_snr_gate(cfg, mag, lin_mag)
 
     if dsp.reconstruction == "phase":
         phase = jnp.angle(spec)
@@ -131,6 +155,7 @@ def offline_denoise_stateless(cfg: Config, model, params,
     resid = model.apply(params, x)[..., :dsp.n_stft, :t]
     recon = jnp.maximum(logmag - resid, 0.0)
     lin = jnp.expm1(recon)
+    lin = _apply_snr_gate(cfg, mag, lin)
     rec = lin * jnp.exp(1j * phase)
     out = istft(rec, dsp.n_fft, dsp.hop_length, dsp.win, window=win,
                 length=length)

@@ -35,6 +35,12 @@ class FastState(NamedTuple):
     ring: jnp.ndarray   # (B, n_fft) analysis window
     ola: jnp.ndarray    # (B, n_fft) synthesis accumulator
     hx: jnp.ndarray     # model hidden state (B, ...)
+    # SNR-gate noise-floor carry (ops/noisefloor.py); present only when
+    # cfg.serving.snr_gate_db is set (None leaves keep old snapshots and
+    # the ungated step bit-identical)
+    nf_smooth: Optional[jnp.ndarray] = None   # (B, F)
+    nf_floor: Optional[jnp.ndarray] = None    # (B, F)
+    nf_total: Optional[jnp.ndarray] = None    # (B,) long power EMA
 
 
 def _init_carry(model, batch: int, dtype=jnp.float32):
@@ -52,10 +58,18 @@ def _decay_carry(model, carry, factor):
 def fast_init_state(cfg: Config, model, batch: int,
                     dtype=jnp.float32) -> FastState:
     n_fft = cfg.dsp.n_fft
+    gate = cfg.serving.snr_gate_db is not None
+    # distinct arrays: donation-based slot updates reject one buffer
+    # appearing twice in the argument pytree
     return FastState(
         ring=jnp.zeros((batch, n_fft), dtype),
         ola=jnp.zeros((batch, n_fft), dtype),
         hx=_init_carry(model, batch, dtype),
+        nf_smooth=(jnp.zeros((batch, cfg.dsp.n_stft), dtype)
+                   if gate else None),
+        nf_floor=(jnp.zeros((batch, cfg.dsp.n_stft), dtype)
+                  if gate else None),
+        nf_total=jnp.zeros((batch,), dtype) if gate else None,
     )
 
 
@@ -115,13 +129,35 @@ def make_fast_step(cfg: Config, model):
             lin = inverse_mel_scale(mel_mag, inv)[..., 0]    # (B, F)
         lin = lin * srv.output_gain
         hx = _decay_carry(model, hx, srv.state_decay)
+        nf_s = state.nf_smooth
+        nf_f = state.nf_floor
+        nf_t = state.nf_total
+        if srv.snr_gate_db is not None:
+            # per-stream SNR gate (ops/noisefloor.py rationale): blend
+            # the output magnitude toward passthrough on near-clean input
+            from audio_denoising_tpu.ops.noisefloor import (
+                FloorState, floor_rise_per_frame, floor_step, gate_alpha,
+                smooth_beta_per_frame, snr_db_from_floor,
+                total_beta_per_frame)
+            power = mag * mag                                # (B, F)
+            fs = floor_step(FloorState(nf_s, nf_f, nf_t), power,
+                            smooth_beta_per_frame(hop, dsp.sample_rate),
+                            floor_rise_per_frame(hop, dsp.sample_rate),
+                            total_beta_per_frame(hop, dsp.sample_rate))
+            nf_s, nf_f, nf_t = fs.smooth, fs.floor, fs.total
+            snr = snr_db_from_floor(fs.total,
+                                    jnp.mean(nf_f, axis=-1))  # (B,)
+            alpha = gate_alpha(snr, srv.snr_gate_db,
+                               srv.snr_gate_width_db)[:, None]
+            lin = alpha * lin + (1.0 - alpha) * mag
         rec = lin * jnp.exp(1j * phase)
         synth = jnp.fft.irfft(rec, n=n_fft, axis=-1) * win   # (B, n_fft)
         acc = state.ola + synth
         out_hop = acc[:, :hop] / env_hop
         ola = jnp.concatenate(
             [acc[:, hop:], jnp.zeros_like(acc[:, :hop])], axis=-1)
-        return FastState(ring=ring, ola=ola, hx=hx), out_hop
+        return FastState(ring=ring, ola=ola, hx=hx, nf_smooth=nf_s,
+                         nf_floor=nf_f, nf_total=nf_t), out_hop
 
     return step
 
@@ -156,6 +192,19 @@ class StreamEngine:
             assert self.n % mesh.devices.size == 0, (
                 "max_streams must divide evenly over the mesh")
         self.hop = cfg.dsp.hop_length
+
+        if cfg.serving.snr_gate_db is not None and mode not in ("fast",
+                                                                "unet"):
+            # the SNR gate is implemented in the op-by-op fast step and
+            # the segment path (offline_denoise_stateless); the Pallas
+            # one-kernel hops and the GL webrtc path do not carry the
+            # noise-floor state — downgrade rather than silently serve
+            # ungated (the gate is a clean-audio-safety feature)
+            import warnings
+            warnings.warn(
+                f"snr_gate_db is set but engine mode {mode!r} does not "
+                f"implement the gate; downgrading to 'fast'", stacklevel=2)
+            mode = self.mode = "fast"
 
         if mode in ("fused", "fused-webrtc") and not pallas_interpret \
                 and not hasattr(model, "geo"):

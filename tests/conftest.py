@@ -23,6 +23,13 @@ import pytest  # noqa: E402
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for mesh tests"
 
+# Persistent XLA compilation cache: this machine has ONE core, so the
+# suite's wall time is dominated by CPU-backend compiles; caching them
+# makes repeat runs much faster (first run unchanged).
+from audio_denoising_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 
 @pytest.fixture
 def rng():

@@ -40,8 +40,13 @@ class EngineDaemon:
     def __init__(self, spec: str = "gruunet2-good", max_streams: int = 256,
                  address=("localhost", 6102), mode: str = "fast",
                  tick_ms: float = 1.0, multichip: bool = False,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2, snr_gate_db: float = None):
         self.cfg, self.model, self.params = load_pretrained(spec)
+        if snr_gate_db is not None:
+            import dataclasses
+            self.cfg = dataclasses.replace(
+                self.cfg, serving=dataclasses.replace(
+                    self.cfg.serving, snr_gate_db=snr_gate_db))
         mesh = None
         if multichip:
             import jax
@@ -189,6 +194,11 @@ def main(argv=None) -> int:
                             "unet"],
                    default="fast")
     p.add_argument("--tick-ms", type=float, default=1.0)
+    p.add_argument("--snr-gate", type=float, default=None,
+                   help="SNR-gated passthrough blend: output leans toward "
+                        "the raw input above this estimated input SNR (dB) "
+                        "— protects near-clean streams (ops/noisefloor.py; "
+                        "tuned default 10)")
     p.add_argument("--multichip", action="store_true",
                    help="shard stream slots over all devices (1-D mesh)")
     p.add_argument("--pipeline-depth", type=int, default=2,
@@ -197,5 +207,6 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     EngineDaemon(args.model, args.max_streams, (args.host, args.port),
                  args.mode, args.tick_ms, multichip=args.multichip,
-                 pipeline_depth=args.pipeline_depth).serve_forever()
+                 pipeline_depth=args.pipeline_depth,
+                 snr_gate_db=args.snr_gate).serve_forever()
     return 0

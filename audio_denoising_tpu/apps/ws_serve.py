@@ -77,9 +77,14 @@ class WSDaemon:
     def __init__(self, spec: str = "gruunet2-good", host: str = "localhost",
                  port: int = 8765, max_streams: int = 256,
                  mode: str = "fast", tick_ms: float = 1.0,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2, snr_gate_db: float = None):
         self.spec = spec
         self.cfg, self.model, self.params = load_pretrained(spec)
+        if snr_gate_db is not None:
+            import dataclasses
+            self.cfg = dataclasses.replace(
+                self.cfg, serving=dataclasses.replace(
+                    self.cfg.serving, snr_gate_db=snr_gate_db))
         self.engine = StreamEngine(self.cfg, self.model, self.params,
                                    mode=mode, max_streams=max_streams)
         self.addr = (host, port)
@@ -236,7 +241,11 @@ def main(argv=None) -> int:
                    choices=["fast", "webrtc", "fused", "fused-webrtc"],
                    default="fast")
     p.add_argument("--pipeline-depth", type=int, default=2)
+    p.add_argument("--snr-gate", type=float, default=None,
+                   help="SNR-gated passthrough blend (dB; tuned default "
+                        "10) — protects near-clean streams")
     args = p.parse_args(argv)
     WSDaemon(args.model, args.host, args.port, args.max_streams,
-             args.mode, pipeline_depth=args.pipeline_depth).serve_forever()
+             args.mode, pipeline_depth=args.pipeline_depth,
+             snr_gate_db=args.snr_gate).serve_forever()
     return 0

@@ -40,13 +40,11 @@ class EngineDaemon:
     def __init__(self, spec: str = "gruunet2-good", max_streams: int = 256,
                  address=("localhost", 6102), mode: str = "fast",
                  tick_ms: float = 1.0, multichip: bool = False,
-                 pipeline_depth: int = 2, snr_gate_db: float = None):
+                 pipeline_depth: int = 2, snr_gate_db: float = None,
+                 snr_gate_width_db: float = None):
         self.cfg, self.model, self.params = load_pretrained(spec)
-        if snr_gate_db is not None:
-            import dataclasses
-            self.cfg = dataclasses.replace(
-                self.cfg, serving=dataclasses.replace(
-                    self.cfg.serving, snr_gate_db=snr_gate_db))
+        from audio_denoising_tpu.config import with_snr_gate
+        self.cfg = with_snr_gate(self.cfg, snr_gate_db, snr_gate_width_db)
         mesh = None
         if multichip:
             import jax
@@ -199,6 +197,8 @@ def main(argv=None) -> int:
                         "the raw input above this estimated input SNR (dB) "
                         "— protects near-clean streams (ops/noisefloor.py; "
                         "tuned default 10)")
+    p.add_argument("--snr-gate-width", type=float, default=None,
+                   help="gate transition width in dB (tuned default 4)")
     p.add_argument("--multichip", action="store_true",
                    help="shard stream slots over all devices (1-D mesh)")
     p.add_argument("--pipeline-depth", type=int, default=2,
@@ -208,5 +208,6 @@ def main(argv=None) -> int:
     EngineDaemon(args.model, args.max_streams, (args.host, args.port),
                  args.mode, args.tick_ms, multichip=args.multichip,
                  pipeline_depth=args.pipeline_depth,
-                 snr_gate_db=args.snr_gate).serve_forever()
+                 snr_gate_db=args.snr_gate,
+                 snr_gate_width_db=args.snr_gate_width).serve_forever()
     return 0

@@ -249,13 +249,8 @@ def evaluate_manifest(spec: str, manifest_path: str, n_boot: int = 2000,
     mixture, clean, gains, src_sr, digest = build_manifest_set(manifest)
 
     cfg, model, params = load_pretrained(spec)
-    if snr_gate_db is not None:
-        import dataclasses
-        cfg = dataclasses.replace(cfg, serving=dataclasses.replace(
-            cfg.serving, snr_gate_db=snr_gate_db,
-            snr_gate_width_db=(snr_gate_width_db
-                               if snr_gate_width_db is not None
-                               else cfg.serving.snr_gate_width_db)))
+    from audio_denoising_tpu.config import with_snr_gate
+    cfg = with_snr_gate(cfg, snr_gate_db, snr_gate_width_db)
     sr = cfg.dsp.sample_rate
     eval_sr = manifest.get("sample_rate")
     if eval_sr:

@@ -115,13 +115,14 @@ def main(argv=None) -> int:
         if resume_meta and resume_meta.get("full_config"):
             resumed_cfg = Config.from_json(
                 _json.dumps(resume_meta["full_config"]))
-            import sys as _sys
-            raw_args = argv if argv is not None else _sys.argv[1:]
-            if any(a == "--preset" or a.startswith("--preset=")
-                   for a in raw_args) and resumed_cfg != cfg:
-                print(f"note: --preset {args.preset} differs from the "
-                      f"resumed checkpoint's config; using the "
-                      f"checkpoint's (CLI flags still override)")
+            # warn only on an ARCH mismatch: comparing full configs fires
+            # on every resume of a run that used any CLI override (e.g.
+            # every segmented-queue resume), training users to ignore it
+            if resumed_cfg.model.arch != cfg.model.arch:
+                print(f"note: --preset {args.preset} ({cfg.model.arch}) "
+                      f"differs from the resumed checkpoint's arch "
+                      f"({resumed_cfg.model.arch}); using the "
+                      f"checkpoint's config (CLI flags still override)")
             cfg = resumed_cfg
         else:
             print("warning: resumed checkpoint has no full_config; "

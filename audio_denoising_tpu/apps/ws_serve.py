@@ -77,14 +77,12 @@ class WSDaemon:
     def __init__(self, spec: str = "gruunet2-good", host: str = "localhost",
                  port: int = 8765, max_streams: int = 256,
                  mode: str = "fast", tick_ms: float = 1.0,
-                 pipeline_depth: int = 2, snr_gate_db: float = None):
+                 pipeline_depth: int = 2, snr_gate_db: float = None,
+                 snr_gate_width_db: float = None):
         self.spec = spec
         self.cfg, self.model, self.params = load_pretrained(spec)
-        if snr_gate_db is not None:
-            import dataclasses
-            self.cfg = dataclasses.replace(
-                self.cfg, serving=dataclasses.replace(
-                    self.cfg.serving, snr_gate_db=snr_gate_db))
+        from audio_denoising_tpu.config import with_snr_gate
+        self.cfg = with_snr_gate(self.cfg, snr_gate_db, snr_gate_width_db)
         self.engine = StreamEngine(self.cfg, self.model, self.params,
                                    mode=mode, max_streams=max_streams)
         self.addr = (host, port)
@@ -244,8 +242,11 @@ def main(argv=None) -> int:
     p.add_argument("--snr-gate", type=float, default=None,
                    help="SNR-gated passthrough blend (dB; tuned default "
                         "10) — protects near-clean streams")
+    p.add_argument("--snr-gate-width", type=float, default=None,
+                   help="gate transition width in dB (tuned default 4)")
     args = p.parse_args(argv)
     WSDaemon(args.model, args.host, args.port, args.max_streams,
              args.mode, pipeline_depth=args.pipeline_depth,
-             snr_gate_db=args.snr_gate).serve_forever()
+             snr_gate_db=args.snr_gate,
+             snr_gate_width_db=args.snr_gate_width).serve_forever()
     return 0

@@ -7,6 +7,7 @@ the framework is standalone (no torch, no reference tree needed at runtime).
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Dict, Tuple
 
 import numpy as np
@@ -17,7 +18,16 @@ def save_params_npz(path: str, params: Dict[str, np.ndarray],
     arrays = {"param:" + k: np.asarray(v) for k, v in params.items()}
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta, default=_json_default).encode(), dtype=np.uint8)
-    np.savez_compressed(path, **arrays)
+    # atomic: write to a temp sibling then rename. A process killed
+    # mid-save (the relay-outage queue runs every segment under
+    # `timeout`) must never leave a truncated checkpoint at the final
+    # path — a later --resume would pick it up and fail forever.
+    tmp = path + ".tmp"
+    np.savez_compressed(tmp, **arrays)
+    # np.savez appends .npz to paths without the suffix
+    if not os.path.exists(tmp) and os.path.exists(tmp + ".npz"):
+        tmp = tmp + ".npz"
+    os.replace(tmp, path)
 
 
 def _json_default(o):

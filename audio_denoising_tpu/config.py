@@ -234,6 +234,32 @@ class Config:
 
 
 # Named presets matching the shipped reference checkpoints (SURVEY §2).
+def with_snr_gate(cfg: Config, gate_db: Optional[float],
+                  width_db: Optional[float] = None) -> Config:
+    """Config with the SNR-gated passthrough blend enabled (one helper so
+    every CLI surface agrees on the semantics — the tuning sweep chooses
+    (gate, width) PAIRS, so deploy surfaces must expose both). No-op when
+    ``gate_db`` is None. Warns when the checkpoint carries a non-unit
+    output_gain: the blend mixes the gained denoised magnitude with the
+    raw input, so the gate is designed for level-calibrated checkpoints
+    (recon-mrstft, gain 1.0); a x3-gain checkpoint would swing levels as
+    the estimate drifts across the gate."""
+    if gate_db is None:
+        return cfg
+    if cfg.serving.output_gain != 1.0:
+        import warnings
+        warnings.warn(
+            f"snr_gate_db set on a checkpoint with output_gain="
+            f"{cfg.serving.output_gain} — the gate blends toward the "
+            f"raw input level, so non-unit gains shift level with the "
+            f"gate; intended for level-calibrated (gain 1.0) "
+            f"checkpoints", stacklevel=2)
+    return dataclasses.replace(cfg, serving=dataclasses.replace(
+        cfg.serving, snr_gate_db=gate_db,
+        snr_gate_width_db=(width_db if width_db is not None
+                           else cfg.serving.snr_gate_width_db)))
+
+
 PRESETS: Dict[str, Config] = {
     # WebRTC path: mel domain, Griffin-Lim reconstruction (app2.py).
     "gruunet2-dari_tult": Config(

@@ -166,6 +166,14 @@ class UNetStreamState(NamedTuple):
     """Per-slot state for cadence-locked U-Net segment streaming."""
     ring: jnp.ndarray   # (B, ctx + seg + ctx) input sample history
     out: jnp.ndarray    # (B, seg) pending output segment
+    # SNR-gate noise-floor carry (ops/noisefloor.py), present only when
+    # cfg.serving.snr_gate_db is set. Carried ACROSS segment windows —
+    # the per-window tracker inside offline_denoise_stateless cannot
+    # converge in one ~0.1-0.2 s window (its floor seeds from the
+    # window's first frame), which made the gate inert in this mode.
+    nf_smooth: Optional[jnp.ndarray] = None   # (B, F)
+    nf_floor: Optional[jnp.ndarray] = None    # (B, F)
+    nf_total: Optional[jnp.ndarray] = None    # (B,)
 
 
 def _unet_stream_geometry(cfg: Config) -> Tuple[int, int, int, int]:
@@ -177,9 +185,15 @@ def _unet_stream_geometry(cfg: Config) -> Tuple[int, int, int, int]:
 def unet_stream_init_state(cfg: Config, model, batch: int,
                            dtype=jnp.float32) -> UNetStreamState:
     hop, _p, seg, ctx = _unet_stream_geometry(cfg)
+    gate = cfg.serving.snr_gate_db is not None
     return UNetStreamState(
         ring=jnp.zeros((batch, ctx + seg + ctx), dtype),
-        out=jnp.zeros((batch, seg), dtype))
+        out=jnp.zeros((batch, seg), dtype),
+        nf_smooth=(jnp.zeros((batch, cfg.dsp.n_stft), dtype)
+                   if gate else None),
+        nf_floor=(jnp.zeros((batch, cfg.dsp.n_stft), dtype)
+                  if gate else None),
+        nf_total=jnp.zeros((batch,), dtype) if gate else None)
 
 
 def make_unet_stream_step(cfg: Config, model):
@@ -206,10 +220,43 @@ def make_unet_stream_step(cfg: Config, model):
     ``lax.cond`` so non-boundary ticks cost only the ring shift.
     """
     hop, seg_hops, seg, ctx = _unet_stream_geometry(cfg)
+    gate = cfg.serving.snr_gate_db is not None
+    if gate:
+        # the window denoise runs UNGATED; the gate applies here with a
+        # floor tracker carried ACROSS windows (see UNetStreamState note)
+        import dataclasses
+        from audio_denoising_tpu.ops.noisefloor import (
+            FloorState, floor_rise_per_frame, gate_alpha, noise_floor_scan,
+            smooth_beta_per_frame, snr_db_from_floor, total_beta_per_frame)
+        cfg_inner = dataclasses.replace(
+            cfg, serving=dataclasses.replace(cfg.serving, snr_gate_db=None))
+        win = hann_window(cfg.dsp.win)
+        rise = floor_rise_per_frame(cfg.dsp.hop_length, cfg.dsp.sample_rate)
+        beta = smooth_beta_per_frame(cfg.dsp.hop_length, cfg.dsp.sample_rate)
+        beta_t = total_beta_per_frame(cfg.dsp.hop_length,
+                                      cfg.dsp.sample_rate)
+    else:
+        cfg_inner = cfg
 
-    def denoise_window(params, ring):
-        den = offline_denoise_stateless(cfg, model, params, ring)
-        return jax.lax.dynamic_slice_in_dim(den, ctx, seg, axis=1)
+    def denoise_window(params, ring, nf):
+        den = offline_denoise_stateless(cfg_inner, model, params, ring)
+        mid = jax.lax.dynamic_slice_in_dim(den, ctx, seg, axis=1)
+        if not gate:
+            return mid, nf
+        # track the floor over the EMITTED middle span only — those
+        # samples are contiguous and non-overlapping across cycles, so
+        # the tracker sees each sample exactly once
+        mid_in = jax.lax.dynamic_slice_in_dim(ring, ctx, seg, axis=1)
+        spec = stft(mid_in, cfg.dsp.n_fft, cfg.dsp.hop_length, cfg.dsp.win,
+                    window=win)
+        power = jnp.abs(spec) ** 2
+        _f, _t, last = noise_floor_scan(power, rise, beta, beta_t,
+                                        init=FloorState(*nf))
+        snr = snr_db_from_floor(last.total, jnp.mean(last.floor, axis=-1))
+        alpha = gate_alpha(snr, cfg.serving.snr_gate_db,
+                           cfg.serving.snr_gate_width_db)[:, None]
+        return alpha * mid + (1.0 - alpha) * mid_in, \
+            (last.smooth, last.floor, last.total)
 
     def step(params, state: UNetStreamState, chunk: jnp.ndarray,
              phase: jnp.ndarray):
@@ -217,12 +264,14 @@ def make_unet_stream_step(cfg: Config, model):
         # emit from the PREVIOUS cycle's buffer before (possibly) refilling
         out_hop = jax.lax.dynamic_slice_in_dim(state.out, phase * hop, hop,
                                                axis=1)
-        new_out = jax.lax.cond(
+        nf = (state.nf_smooth, state.nf_floor, state.nf_total)
+        new_out, nf = jax.lax.cond(
             phase == seg_hops - 1,
-            lambda r: denoise_window(params, r),
-            lambda r: state.out,
+            lambda r: denoise_window(params, r, nf),
+            lambda r: (state.out, nf),
             ring)
-        return UNetStreamState(ring=ring, out=new_out), out_hop
+        return UNetStreamState(ring=ring, out=new_out, nf_smooth=nf[0],
+                               nf_floor=nf[1], nf_total=nf[2]), out_hop
 
     return step
 

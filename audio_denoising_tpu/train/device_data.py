@@ -149,7 +149,14 @@ def make_device_sampler(corpus: DeviceCorpus, crop_samples: int,
             gain = jax.random.uniform(k_gain, (batch_size, 1), minval=lo,
                                       maxval=hi)
         if identity_prob > 0.0:
-            k_gain, k_id = jax.random.split(k_gain)
+            # k_gain was already CONSUMED by the uniform above — splitting
+            # it would hand bernoulli the same threefry counters that
+            # produced the gains (JAX's never-reuse-a-key rule), coupling
+            # which examples go identity to the sampled gains. fold_in at
+            # index 3 is exactly the would-be 4th child of the original
+            # split(key, 3), so existing recipes' sample streams (and
+            # their bit-exact reproducibility) are unchanged.
+            k_id = jax.random.fold_in(key, 3)
             noisy = jax.random.bernoulli(k_id, 1.0 - identity_prob,
                                          (batch_size, 1))
             gain = gain * noisy

@@ -147,6 +147,61 @@ class TestPipelineGate:
                             max_streams=2)
         assert eng0.state.nf_floor is None
 
+    def test_gate_in_engine_unet_mode_carries_floor_across_windows(self,
+                                                                   rng):
+        """Round-4 review fix: engine mode 'unet' must carry the noise
+        floor ACROSS segment windows (a per-window tracker re-seeds from
+        frame 0 and never converges -> gate inert). With a forced
+        passthrough gate, a model that would heavily distort the signal
+        must be fully bypassed."""
+        import dataclasses
+        from audio_denoising_tpu.config import PRESETS
+        from audio_denoising_tpu.runtime.engine import StreamEngine
+
+        class _HalfUNet:            # heavy distortion: halves log-mags
+            bins = 241
+
+            def compatible_frames(self, t, max_extra=512):
+                return t
+
+            def apply(self, params, x):
+                return 0.5 * x
+
+        base = PRESETS["unet4-raw480"]
+        cfg = dataclasses.replace(base, serving=dataclasses.replace(
+            base.serving, unet_seg_hops=4, unet_ctx_samples=960,
+            max_streams=2, snr_gate_db=-60.0, snr_gate_width_db=1.0))
+        hop = cfg.dsp.hop_length
+        P = cfg.serving.unet_seg_hops
+        seg, ctx = P * hop, cfg.serving.unet_ctx_samples
+        delay = seg + ctx
+        eng = StreamEngine(cfg, _HalfUNet(), None, mode="unet",
+                           max_streams=2)
+        assert eng.state.nf_floor is not None
+        eng.add_stream("a")
+        n_ticks = 6 * P
+        t_ax = np.arange(n_ticks * hop, dtype=np.float32)
+        audio = (0.2 * np.sin(2 * np.pi * 440 * t_ax / 48000)
+                 + 0.02 * rng.standard_normal(n_ticks * hop)
+                 ).astype(np.float32)
+        out = np.concatenate(
+            [eng.process({"a": audio[t * hop:(t + 1) * hop]})["a"]
+             for t in range(n_ticks)])
+        a = delay + 2 * seg
+        b = n_ticks * hop - seg
+        np.testing.assert_allclose(out[a:b], audio[a - delay:b - delay],
+                                   atol=5e-3)
+        # sanity: WITHOUT the gate the half-residual model distorts badly
+        cfg0 = dataclasses.replace(cfg, serving=dataclasses.replace(
+            cfg.serving, snr_gate_db=None))
+        eng0 = StreamEngine(cfg0, _HalfUNet(), None, mode="unet",
+                            max_streams=2)
+        eng0.add_stream("a")
+        out0 = np.concatenate(
+            [eng0.process({"a": audio[t * hop:(t + 1) * hop]})["a"]
+             for t in range(n_ticks)])
+        assert np.abs(out0[a:b] - audio[a - delay:b - delay]).mean() > 0.01
+
     def test_gate_unsupported_mode_downgrades(self):
         """Modes without noise-floor state (the Pallas one-kernel hops,
         GL webrtc) must not silently serve ungated: the engine downgrades

@@ -238,6 +238,7 @@ class TestTrainerCLIFlags:
             "--preset", "momo3-4d4ea0", "--data", str(d),
             "--objective", "recon_mrstft", "--mrstft-weight", "2.5",
             "--wave-l1-weight", "4.0", "--si-sdr-weight", "0.1",
+            "--identity-prob", "0.07",
             "--iters", "1", "--batch-size", "2",
             "--crop-samples", "4200", "--save", out])
         assert rc == 0
@@ -247,6 +248,7 @@ class TestTrainerCLIFlags:
         assert tr["mrstft_weight"] == 2.5
         assert tr["wave_l1_weight"] == 4.0
         assert tr["si_sdr_weight"] == 0.1
+        assert tr["identity_prob"] == 0.07
         assert tr["objective"] == "recon_mrstft"
 
     def test_resume_uses_checkpoint_config_not_preset(self, tmp_path):

@@ -12,6 +12,7 @@ seg_train () {  # $1 out-prefix  $2 total-iters  $3... extra flags
   local ckpt=""
   local done=0
   local seg=0
+  local fails=0
   while [ $done -lt $total ]; do
     seg=$((seg+1))
     local n=$(( total - done > 10000 ? 10000 : total - done ))
@@ -20,15 +21,33 @@ seg_train () {  # $1 out-prefix  $2 total-iters  $3... extra flags
     timeout 2000 python -m audio_denoising_tpu train $COMMON "$@" \
       --iters $n --save runs/${out}-seg$seg.npz $res \
       >> /tmp/train_${out}.log 2>&1
+    # ctx.save is ATOMIC (tmp+rename), so existence implies integrity
     if [ -f runs/${out}-seg$seg.npz ]; then
       ckpt=runs/${out}-seg$seg.npz
       done=$((done + n))
+      fails=0
     else
-      echo "segment $seg of $out failed; retrying" >> /tmp/train_${out}.log
+      fails=$((fails+1))
+      echo "segment $seg of $out failed ($fails consecutive)" \
+        >> /tmp/train_${out}.log
+      if [ $fails -ge 5 ]; then
+        echo "giving up on $out after 5 consecutive failures with a healthy relay (deterministic error); moving to next run" \
+          >> /tmp/train_${out}.log
+        break
+      fi
+      # a wedged/down relay must not burn the failure budget: wait for a
+      # tiny jit to succeed before retrying (failures past this probe are
+      # deterministic errors, which the cap above handles)
+      until timeout 120 python -c "import jax, jax.numpy as j; (j.ones((8,8))@j.ones((8,8))).block_until_ready()" >/dev/null 2>&1; do
+        echo "relay unhealthy; waiting before retry ($(date +%T))" >> /tmp/train_${out}.log
+        sleep 60
+      done
     fi
   done
-  cp $ckpt runs/${out}.npz
-  rm -f runs/${out}-seg*.npz
+  if [ -n "$ckpt" ] && [ $done -ge $total ]; then
+    cp $ckpt runs/${out}.npz
+    rm -f runs/${out}-seg*.npz
+  fi
 }
 
 # 1. VERDICT #1: flagship + easy-input preservation (extended curriculum

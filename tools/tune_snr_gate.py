@@ -61,12 +61,8 @@ def main():
     in_snr = np.asarray(si_sdr_db(cl, mix))
 
     def run(gate_db, width_db):
-        cfg = cfg0
-        if gate_db is not None:
-            cfg = dataclasses.replace(
-                cfg0, serving=dataclasses.replace(
-                    cfg0.serving, snr_gate_db=gate_db,
-                    snr_gate_width_db=width_db))
+        from audio_denoising_tpu.config import with_snr_gate
+        cfg = with_snr_gate(cfg0, gate_db, width_db)
         outs = [denoise_array(cfg, model, params, mixture[i], sr)[:crop]
                 for i in range(len(mixture))]
         est = jnp.asarray(np.stack(outs))

@@ -20,8 +20,12 @@ Per hop the chip touches HBM once for (chunk, ring, ola, hx) in and
 round trips (and, on dispatch-latency-bound backends, its ~40 op syncs)
 collapse into one kernel.
 
-Semantics follow engine.make_fast_step exactly; parity is tested in
-tests/test_fused_hop.py (CPU interpret mode) and on-chip.
+Semantics follow engine.make_fast_step exactly — including the optional
+serving-side SNR gate (ServingConfig.snr_gate_db, ops/noisefloor.py):
+the per-bin noise-floor tracker runs IN-KERNEL on three extra VMEM state
+planes, so the fastest serving mode keeps the clean-audio-safety blend.
+Parity is tested in tests/test_fused_hop.py (CPU interpret mode) and
+on-chip.
 """
 
 from typing import NamedTuple, Optional, Tuple
@@ -64,6 +68,20 @@ class FusedHopState(NamedTuple):
     # delta models (MOMO3): previous feature frame, the cell input's second
     # half (cat([x_t, x_t - prev]), momo3.py:286-289). None otherwise.
     prev: Optional[jnp.ndarray] = None
+    # SNR-gate noise-floor carry (ops/noisefloor.py), present only when
+    # cfg.serving.snr_gate_db is set — the gate runs IN-KERNEL (cheap VPU
+    # elementwise + two row reductions), so the fastest serving mode keeps
+    # the clean-audio-safety feature instead of downgrading to op-by-op.
+    # nf_total is the (B,) long power EMA stored as a (B, _TOT_W) plane
+    # (TPU state buffers are 2-D lane-tiled; column 0 is authoritative,
+    # the rest carry the same broadcast value).
+    nf_smooth: Optional[jnp.ndarray] = None   # (B, F)
+    nf_floor: Optional[jnp.ndarray] = None    # (B, F)
+    nf_total: Optional[jnp.ndarray] = None    # (B, _TOT_W)
+
+
+# lane width of the nf_total plane (the TPU vector lane tile)
+_TOT_W = 128
 
 
 def _feat_width(cfg: Config) -> int:
@@ -77,11 +95,16 @@ def fused_hop_init_state(cfg: Config, plan, batch: int) -> FusedHopState:
     prev = None
     if plan.delta:
         prev = jnp.zeros((batch, _feat_width(cfg)), jnp.float32)
+    gate = cfg.serving.snr_gate_db is not None
+    F = cfg.dsp.n_stft
     return FusedHopState(
         ring=jnp.zeros((batch, n_fft), jnp.float32),
         ola=jnp.zeros((batch, n_fft), jnp.float32),
         hx=jnp.zeros((batch, plan.hidden * plan.compressed), jnp.float32),
-        prev=prev)
+        prev=prev,
+        nf_smooth=jnp.zeros((batch, F), jnp.float32) if gate else None,
+        nf_floor=jnp.zeros((batch, F), jnp.float32) if gate else None,
+        nf_total=jnp.zeros((batch, _TOT_W), jnp.float32) if gate else None)
 
 
 def make_fused_hop(cfg: Config, plan, interpret: bool = False,
@@ -121,6 +144,19 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
     raw = dsp.domain == "raw"
     feat = F if raw else M               # model feature width
     delta = plan.delta                   # MOMO3 (hx, prev) carry
+    # in-kernel SNR gate (ops/noisefloor.py semantics, engine.make_fast_step
+    # parity): per-bin floor tracking + stream-level blend toward
+    # passthrough on near-clean input. Pure VPU work: two EMAs, a min, two
+    # row means, one exp — noise-floor state rides VMEM with the rest.
+    gate = srv.snr_gate_db is not None
+    if gate:
+        from audio_denoising_tpu.ops.noisefloor import (
+            FLOOR_BIAS, _EPS, floor_rise_per_frame, smooth_beta_per_frame,
+            total_beta_per_frame)
+        g_beta = smooth_beta_per_frame(hop, dsp.sample_rate)
+        g_rise = floor_rise_per_frame(hop, dsp.sample_rate)
+        g_beta_t = total_beta_per_frame(hop, dsp.sample_rate)
+        g_width = max(srv.snr_gate_width_db, 1e-3)
 
     win = np.asarray(hann_window(n_fft))
     CF, SF, IC, IS = _dft_matrices(n_fft)
@@ -151,34 +187,35 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
                [cast(jnp.asarray(w)) for w in weights]
     n_consts = len(consts)
 
-    n_state = 4 if delta else 3          # ring, ola, hx[, prev]
+    # per-stream state planes, fixed order: ring, ola, hx[, prev]
+    # [, nf_smooth, nf_floor, nf_total]
+    n_state = 3 + (1 if delta else 0) + (3 if gate else 0)
+    state_widths = [n_fft, n_fft, plan.hidden * plan.compressed] + \
+        ([feat] if delta else []) + ([F, F, _TOT_W] if gate else [])
 
     def kernel(*refs):
         ins = refs[:n_state + 1]                    # states + chunk
         outs = refs[-(n_state + 1):]                # states' + out
         cs = refs[n_state + 1:n_state + 1 + n_consts]
         w = list(refs[n_state + 1 + n_consts:-(n_state + 1)])
-        if delta:
-            ring_ref, ola_ref, hx_ref, prev_ref, chunk_ref = ins
-            ring_o, ola_o, hx_o, prev_o, out_o = outs
-            prev_in = prev_ref[:]
-        else:
-            ring_ref, ola_ref, hx_ref, chunk_ref = ins
-            ring_o, ola_o, hx_o, out_o = outs
-            prev_in = None
-        ring, ola, hx, prev, out = _hop_math(
-            cs, w, ring_ref[:], ola_ref[:], hx_ref[:], prev_in, chunk_ref[:])
-        ring_o[:] = ring
-        ola_o[:] = ola
-        hx_o[:] = hx
-        if delta:
-            prev_o[:] = prev
-        out_o[:] = out
+        states, out = _hop_math(cs, w, [r[:] for r in ins[:n_state]],
+                                ins[n_state][:])
+        for o, v in zip(outs[:n_state], states):
+            o[:] = v
+        outs[n_state][:] = out
 
-    # Shared hop body: consumes/produces plain arrays so the single-hop
-    # kernel and the resident multi-hop kernel reuse identical math.
-    # prev_prev/prev' are None for non-delta plans.
-    def _hop_math(cs, w, ring_prev, ola_prev, hx_prev, prev_prev, chunk):
+    # Shared hop body: consumes/produces plain array LISTS (state_widths
+    # order) so the single-hop kernel and the resident multi-hop kernel
+    # reuse identical math.
+    def _hop_math(cs, w, states, chunk):
+        ring_prev, ola_prev, hx_prev = states[:3]
+        si = 3
+        prev_prev = None
+        if delta:
+            prev_prev = states[si]
+            si += 1
+        if gate:
+            nf_s, nf_f, nf_t = states[si:si + 3]
         if raw:
             cf, sf, ic, is_, win_r, env_r = cs
         else:
@@ -214,6 +251,28 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             # inverse_mel_scale (and torchaudio) clamp to >= 0 — without it
             # those bins resynthesize with inverted phase
             lin = jnp.maximum(dot(feat_mag, imelr), 0.0) * srv.output_gain
+        nf_out = []
+        if gate:
+            # noisefloor.floor_step + snr_db_from_floor + gate_alpha in
+            # Mosaic-safe form (exp/log only — no log10/expit lowering);
+            # an all-zero carry (fresh slot) LATCHES rather than pinning
+            power = mag * mag
+            smooth = g_beta * nf_s + (1.0 - g_beta) * power
+            floor = jnp.where(nf_f <= 0.0, smooth,
+                              jnp.minimum(smooth, nf_f * g_rise))
+            p_mean = jnp.mean(power, axis=-1, keepdims=True)       # (B, 1)
+            tot_prev = nf_t[:, :1]
+            total = jnp.where(tot_prev <= 0.0, p_mean,
+                              g_beta_t * tot_prev
+                              + (1.0 - g_beta_t) * p_mean)
+            nfm = FLOOR_BIAS * jnp.mean(floor, axis=-1, keepdims=True)
+            sig = jnp.maximum(total - nfm, 0.0)
+            snr_db = (10.0 / np.log(10.0)) * (jnp.log(sig + _EPS)
+                                              - jnp.log(nfm + _EPS))
+            z = (srv.snr_gate_db - snr_db) / g_width
+            alpha = 1.0 / (1.0 + jnp.exp(-z))                      # (B, 1)
+            lin = alpha * lin + (1.0 - alpha) * mag
+            nf_out = [smooth, floor, total + jnp.zeros_like(nf_t)]
         # phase reuse as complex scaling; at mag ~ 0 match the fast path's
         # polar(lin, angle(0)=0) = lin + 0j
         safe = mag > 1e-8
@@ -227,8 +286,8 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             [acc[:, hop:], jnp.zeros_like(acc[:, :hop])], axis=-1)
         # delta carry: prev' = this hop's input feature (momo3.py:297-323
         # via models/momo.py cell semantics — the fast path persists it)
-        return (ring, ola, hi * srv.state_decay,
-                x if delta else None, out_hop)
+        return ([ring, ola, hi * srv.state_decay]
+                + ([x] if delta else []) + nf_out, out_hop)
 
     # int16 PCM at the kernel boundary: audio arrives as s16 in every real
     # ingest path (the reference's WebRTC frames are s16, app2.py:175-179);
@@ -247,57 +306,56 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         outs = refs[-(2 * n_state + 1):-n_state]    # states' + outs
         cs = refs[n_state + 1:n_state + 1 + n_consts]
         w = list(refs[n_state + 1 + n_consts:-(2 * n_state + 1)])
-        if delta:
-            ring_ref, ola_ref, hx_ref, prev_ref, chunk_ref = ins
-            ring_o, ola_o, hx_o, prev_o, out_o = outs
-            ring_s, ola_s, hx_s, prev_s = scratch
-        else:
-            ring_ref, ola_ref, hx_ref, chunk_ref = ins
-            ring_o, ola_o, hx_o, out_o = outs
-            ring_s, ola_s, hx_s = scratch
+        chunk_ref = ins[n_state]
+        out_o = outs[n_state]
         k = pl.program_id(1)
 
         @pl.when(k == 0)
         def _():
-            ring_s[:] = ring_ref[:]
-            ola_s[:] = ola_ref[:]
-            hx_s[:] = hx_ref[:]
-            if delta:
-                prev_s[:] = prev_ref[:]
+            for s, r in zip(scratch, ins[:n_state]):
+                s[:] = r[:]
 
-        ring, ola, hx = ring_s[:], ola_s[:], hx_s[:]
-        prev = prev_s[:] if delta else None
+        states = [s[:] for s in scratch]
         for u in range(U):       # unrolled: amortizes per-grid-step cost
             chunk = chunk_ref[u]
             if pcm16:            # s16 -> f32 on device (app2.py:177 scale)
                 chunk = chunk.astype(jnp.float32) * (1.0 / 32768.0)
-            ring, ola, hx, prev, out = _hop_math(cs, w, ring, ola, hx,
-                                                 prev, chunk)
+            states, out = _hop_math(cs, w, states, chunk)
             if pcm16:            # f32 -> s16 with clip (app2.py:246-247)
                 out = jnp.clip(out, -1.0, 1.0) * 32767.0
                 out = out.astype(jnp.int16)
             out_o[u] = out
-        ring_s[:] = ring
-        ola_s[:] = ola
-        hx_s[:] = hx
-        if delta:
-            prev_s[:] = prev
+        for s, v in zip(scratch, states):
+            s[:] = v
 
         @pl.when(k == KS - 1)
         def _():
-            ring_o[:] = ring
-            ola_o[:] = ola
-            hx_o[:] = hx
-            if delta:
-                prev_o[:] = prev
+            for o, v in zip(outs[:n_state], states):
+                o[:] = v
+
+    def _pack_state(state: FusedHopState):
+        return [state.ring, state.ola, state.hx] + \
+            ([state.prev] if delta else []) + \
+            ([state.nf_smooth, state.nf_floor, state.nf_total]
+             if gate else [])
+
+    def _rebuild_state(new_states) -> FusedHopState:
+        si = 3
+        prev = nfs = nff = nft = None
+        if delta:
+            prev = new_states[si]
+            si += 1
+        if gate:
+            nfs, nff, nft = new_states[si:si + 3]
+        return FusedHopState(*new_states[:3], prev=prev, nf_smooth=nfs,
+                             nf_floor=nff, nf_total=nft)
 
     def step_multi(state: FusedHopState, chunks: jnp.ndarray):
         k, b = chunks.shape[0], chunks.shape[1]
         assert k == K, f"expected {K} hops per call, got {k}"
         assert chunks.dtype == io_dtype, (chunks.dtype, io_dtype)
         bp = _round_up(b, block_b)
-        states = [state.ring, state.ola, state.hx] + \
-            ([state.prev] if delta else [])
+        states = _pack_state(state)
         if bp != b:
             states = [jnp.pad(a, ((0, bp - b), (0, 0))) for a in states]
             chunks = jnp.pad(chunks, ((0, 0), (0, bp - b), (0, 0)))
@@ -309,9 +367,7 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         const_specs = [pl.BlockSpec(op.shape, lambda i, k: (0, 0),
                                     memory_space=pltpu.VMEM)
                        for op in operands]
-        H = states[2].shape[1]
-        widths = [n_fft, n_fft, H] + ([feat] if delta else [])
-        state_specs = [bspec(wd) for wd in widths]
+        state_specs = [bspec(wd) for wd in state_widths]
         res = pl.pallas_call(
             kernel_multi,
             grid=grid,
@@ -319,10 +375,10 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             out_specs=tuple(state_specs) + (kspec,),
             out_shape=tuple(
                 jax.ShapeDtypeStruct((bp, wd), jnp.float32)
-                for wd in widths)
+                for wd in state_widths)
             + (jax.ShapeDtypeStruct((K, bp, hop), io_dtype),),
             scratch_shapes=[pltpu.VMEM((block_b, wd), jnp.float32)
-                            for wd in widths],
+                            for wd in state_widths],
             # default scoped-vmem limit is 16 MB; wider plans (hidden 40:
             # 29 MB stack at block_b=128) need headroom — v5e has 128 MB
             compiler_params=pltpu.CompilerParams(
@@ -333,8 +389,7 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         if bp != b:
             new_states = [a[:b] for a in new_states]
             outs = outs[:, :b]
-        return FusedHopState(*new_states[:3],
-                             prev=new_states[3] if delta else None), outs
+        return _rebuild_state(new_states), outs
 
     if hops_per_call > 1:
         return step_multi
@@ -346,8 +401,7 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             chunk = chunk.astype(jnp.float32) * (1.0 / 32768.0)
         b = chunk.shape[0]
         bp = _round_up(b, block_b)
-        states = [state.ring, state.ola, state.hx] + \
-            ([state.prev] if delta else [])
+        states = _pack_state(state)
         if bp != b:
             states = [jnp.pad(a, ((0, bp - b), (0, 0))) for a in states]
             chunk = jnp.pad(chunk, ((0, bp - b), (0, 0)))
@@ -357,9 +411,7 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         const_specs = [pl.BlockSpec(op.shape, lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)
                        for op in operands]
-        H = states[2].shape[1]
-        widths = [n_fft, n_fft, H] + ([feat] if delta else [])
-        state_specs = [bspec(wd) for wd in widths]
+        state_specs = [bspec(wd) for wd in state_widths]
         res = pl.pallas_call(
             kernel,
             grid=grid,
@@ -367,7 +419,7 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             out_specs=tuple(state_specs) + (bspec(hop),),
             out_shape=tuple(
                 jax.ShapeDtypeStruct((bp, wd), jnp.float32)
-                for wd in widths)
+                for wd in state_widths)
             + (jax.ShapeDtypeStruct((bp, hop), jnp.float32),),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
@@ -379,8 +431,7 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             out = out[:b]
         if pcm16:
             out = (jnp.clip(out, -1.0, 1.0) * 32767.0).astype(jnp.int16)
-        return FusedHopState(*new_states[:3],
-                             prev=new_states[3] if delta else None), out
+        return _rebuild_state(new_states), out
 
     return step
 
@@ -407,9 +458,13 @@ def make_fused_hop_sharded(cfg: Config, plan, mesh, interpret: bool = False,
     step = make_fused_hop(cfg, plan, interpret=interpret, block_b=block_b,
                           hops_per_call=hops_per_call)
     axis = mesh.axis_names[0]
+    gate = cfg.serving.snr_gate_db is not None
     state_spec = FusedHopState(
         ring=P(axis), ola=P(axis), hx=P(axis),
-        prev=P(axis) if plan.delta else None)
+        prev=P(axis) if plan.delta else None,
+        nf_smooth=P(axis) if gate else None,
+        nf_floor=P(axis) if gate else None,
+        nf_total=P(axis) if gate else None)
     chunk_spec = P(None, axis) if hops_per_call > 1 else P(axis)
 
     return shard_map(step, mesh=mesh,

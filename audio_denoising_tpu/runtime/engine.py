@@ -194,10 +194,11 @@ class StreamEngine:
         self.hop = cfg.dsp.hop_length
 
         if cfg.serving.snr_gate_db is not None and mode not in ("fast",
-                                                                "unet"):
-            # the SNR gate is implemented in the op-by-op fast step and
-            # the segment path (offline_denoise_stateless); the Pallas
-            # one-kernel hops and the GL webrtc path do not carry the
+                                                                "unet",
+                                                                "fused"):
+            # the SNR gate is implemented in the op-by-op fast step, the
+            # segment path (offline_denoise_stateless) and IN-KERNEL in
+            # the fused Pallas hop; the GL webrtc paths do not carry the
             # noise-floor state — downgrade rather than silently serve
             # ungated (the gate is a clean-audio-safety feature)
             import warnings

@@ -334,3 +334,100 @@ class TestResidentKernelVariants:
         np.testing.assert_allclose(np.clip(np.asarray(o1), -1, 1), back,
                                    atol=2.0 / 32767)
         np.testing.assert_array_equal(np.asarray(s1.hx), np.asarray(s2.hx))
+
+
+class TestFusedHopGate:
+    """In-kernel SNR gate (round 4): mode 'fused' keeps the clean-audio
+    safety blend instead of downgrading to the op-by-op fast step
+    (ops/noisefloor.py semantics; engine.make_fast_step is the oracle)."""
+
+    def _gated_cfg(self, setup):
+        import dataclasses
+        cfg, model, params, plan = setup
+        cfg = dataclasses.replace(cfg, serving=dataclasses.replace(
+            cfg.serving, snr_gate_db=10.0, snr_gate_width_db=4.0))
+        return cfg, model, params, plan
+
+    def _bursty(self, rng, B, hop, t):
+        # bursty tone + per-stream noise levels spreading alpha over (0,1);
+        # minimum statistics needs non-stationary "speech" to ride above
+        # the floor (a steady tone IS noise to the tracker)
+        t_ax = np.arange(t * hop, (t + 1) * hop) / 16000.0
+        base = (0.3 * np.sin(2 * np.pi * 440 * t_ax)
+                * (1.0 if (t // 3) % 2 else 0.0))
+        lv = np.array([0.001, 0.01, 0.1, 0.3])[:B, None]
+        return jnp.asarray(base[None, :]
+                           + lv * rng.standard_normal((B, hop)), jnp.float32)
+
+    def test_matches_fast_step_gated(self, setup, rng):
+        cfg, model, params, plan = self._gated_cfg(setup)
+        B, hop = 4, cfg.dsp.hop_length
+        fast = make_fast_step(cfg, model)
+        fused = make_fused_hop(cfg, plan, interpret=True)
+        s0 = fast_init_state(cfg, model, B)
+        s1 = fused_hop_init_state(cfg, plan, B)
+        assert s1.nf_floor is not None
+        for t in range(12):
+            chunk = self._bursty(rng, B, hop, t)
+            s0, out0 = fast(params, s0, chunk)
+            s1, out1 = fused(s1, chunk)
+            np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                                       atol=3e-4)
+        np.testing.assert_allclose(np.asarray(s0.nf_floor),
+                                   np.asarray(s1.nf_floor),
+                                   rtol=2e-4, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(s0.nf_total),
+                                   np.asarray(s1.nf_total[:, 0]), rtol=2e-4)
+
+    def test_resident_multi_hop_carries_floor(self, setup, rng):
+        cfg, model, params, plan = self._gated_cfg(setup)
+        B, K, hop = 4, 4, cfg.dsp.hop_length
+        multi = make_fused_hop(cfg, plan, interpret=True, hops_per_call=K)
+        single = make_fused_hop(cfg, plan, interpret=True)
+        chunks = jnp.stack([self._bursty(rng, B, hop, t) for t in range(K)])
+        s_m = s_s = fused_hop_init_state(cfg, plan, B)
+        s_m, outs = multi(s_m, chunks)
+        for k in range(K):
+            s_s, out = single(s_s, chunks[k])
+            np.testing.assert_allclose(np.asarray(outs[k]), np.asarray(out),
+                                       atol=3e-4)
+        np.testing.assert_allclose(np.asarray(s_m.nf_floor),
+                                   np.asarray(s_s.nf_floor),
+                                   rtol=2e-4, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(s_m.nf_total),
+                                   np.asarray(s_s.nf_total), rtol=2e-4)
+
+    def test_engine_fused_gated_no_downgrade_and_masked_commit(self, setup,
+                                                               rng):
+        """Engine mode 'fused' + gate: no downgrade warning, and the
+        noise-floor planes obey the masked per-stream commit (a stream
+        that misses a tick must not have its floor advanced)."""
+        import warnings
+        cfg, model, params, plan = self._gated_cfg(setup)
+        import audio_denoising_tpu.ops.pallas.fused_hop as fh
+        orig = fh.make_fused_hop
+        try:
+            fh.make_fused_hop = lambda c, p, **kw: orig(c, p, interpret=True)
+            from audio_denoising_tpu.runtime.engine import StreamEngine
+            with warnings.catch_warnings(record=True) as w:
+                warnings.simplefilter("always")
+                eng = StreamEngine(cfg, model, params, mode="fused",
+                                   max_streams=2, jit=False)
+            assert eng.mode == "fused"
+            assert not any("snr_gate" in str(x.message) for x in w)
+            hop = cfg.dsp.hop_length
+            eng.add_stream("a")
+            eng.add_stream("b")
+            eng.process({"a": (0.1 * rng.standard_normal(hop)
+                               ).astype(np.float32),
+                         "b": (0.1 * rng.standard_normal(hop)
+                               ).astype(np.float32)})
+            floor_b = np.asarray(eng.state.nf_floor[eng.slots["b"]]).copy()
+            eng.process({"a": (0.1 * rng.standard_normal(hop)
+                               ).astype(np.float32)})
+            np.testing.assert_array_equal(
+                np.asarray(eng.state.nf_floor[eng.slots["b"]]), floor_b)
+            assert not np.array_equal(
+                np.asarray(eng.state.nf_floor[eng.slots["a"]]), floor_b)
+        finally:
+            fh.make_fused_hop = orig

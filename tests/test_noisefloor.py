@@ -203,9 +203,10 @@ class TestPipelineGate:
         assert np.abs(out0[a:b] - audio[a - delay:b - delay]).mean() > 0.01
 
     def test_gate_unsupported_mode_downgrades(self):
-        """Modes without noise-floor state (the Pallas one-kernel hops,
-        GL webrtc) must not silently serve ungated: the engine downgrades
-        to 'fast' with a warning."""
+        """Modes without noise-floor state (the GL webrtc paths) must not
+        silently serve ungated: the engine downgrades to 'fast' with a
+        warning. ('fused' carries the gate IN-KERNEL since round 4 —
+        tests/test_fused_hop.py::TestFusedHopGate.)"""
         import dataclasses
         import warnings
         from audio_denoising_tpu.hub import load_pretrained
@@ -215,7 +216,7 @@ class TestPipelineGate:
             cfg0.serving, snr_gate_db=8.0))
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
-            eng = StreamEngine(cfg, model, params, mode="fused",
+            eng = StreamEngine(cfg, model, params, mode="webrtc",
                                max_streams=2, pallas_interpret=True)
         assert eng.mode == "fast"
         assert any("snr_gate" in str(x.message) for x in w)

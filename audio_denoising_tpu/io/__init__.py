@@ -19,6 +19,7 @@ from audio_denoising_tpu.io.codec import (
     read_audio_codec, read_mp3, read_webm_opus,
 )
 from audio_denoising_tpu.io.ffmpeg import ffmpeg_available, read_audio_ffmpeg
+from audio_denoising_tpu.io.avdec import av_available, read_audio_av
 
 __all__ = [
     "read_wav", "write_wav", "pcm_to_float32", "float32_to_pcm16",
@@ -27,4 +28,5 @@ __all__ = [
     "codec_available", "mp3_available", "opus_available", "probe_mp3_rate",
     "read_audio_codec", "read_mp3", "read_webm_opus",
     "ffmpeg_available", "read_audio_ffmpeg",
+    "av_available", "read_audio_av",
 ]

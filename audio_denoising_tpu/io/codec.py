@@ -530,15 +530,25 @@ def codec_available(path: str) -> bool:
     if low.endswith((".mp3", ".mp2", ".mpga")):
         return mp3_available()
     if low.endswith((".webm", ".mkv", ".weba")):
-        if not opus_available():
-            return False
         # for an existing file, verify the container actually has an Opus
         # track; for a bare name (capability query) trust the extension
-        return _has_opus_track(path) if os.path.exists(path) else True
+        if opus_available() and (_has_opus_track(path)
+                                 if os.path.exists(path) else True):
+            return True
+        # non-Opus Matroska (or no libopus): the linked-FFmpeg decoder
+        # demuxes/decodes any track type
+        from audio_denoising_tpu.io.avdec import av_available
+        return av_available()
     if low.endswith((".ogg", ".oga")):
         return vorbis_available()
     if low.endswith(".flac"):
         return True        # pure-Python decoder (io/flac.py), no lib needed
+    if low.endswith(_FFMPEG_EXTS):
+        # m4a/aac/mp4/wma/aiff: native/adt_codec.cpp (LINKED libavformat/
+        # libavcodec — no binary) — round 4 closes the last decode-parity
+        # gap with the reference's PyAV ingest (utils.py:179-198)
+        from audio_denoising_tpu.io.avdec import av_available
+        return av_available()
     return False
 
 
@@ -563,15 +573,22 @@ def list_decodable_audio(root: str):
 
 
 def read_audio_codec(path: str) -> Tuple[np.ndarray, int]:
-    """Decode mp3/webm via the system codec libs -> ((C, N) float32, rate)."""
+    """Decode a compressed container via the system codec libs ->
+    ((C, N) float32, rate). Dispatch mirrors codec_available()."""
     low = path.lower()
     if low.endswith((".mp3", ".mp2", ".mpga")):
         return read_mp3(path)
     if low.endswith((".webm", ".mkv", ".weba")):
-        return read_webm_opus(path)
+        if opus_available() and _has_opus_track(path):
+            return read_webm_opus(path)
+        from audio_denoising_tpu.io.avdec import read_audio_av
+        return read_audio_av(path)
     if low.endswith((".ogg", ".oga")):
         return read_ogg_vorbis(path)
     if low.endswith(".flac"):
         from audio_denoising_tpu.io.flac import read_flac
         return read_flac(path)
+    if low.endswith(_FFMPEG_EXTS):
+        from audio_denoising_tpu.io.avdec import read_audio_av
+        return read_audio_av(path)
     raise ValueError(f"unsupported container: {path!r}")

@@ -4,14 +4,17 @@ TPU-first).
 
 The workload's natural axis is the stream/example batch: model params are
 tiny (~15k floats) and replicate everywhere; stream state and chunks shard
-over a 1-D ``streams`` mesh riding ICI. Collectives appear only in metrics
-(psum) and data-parallel gradients (pmean via jax.grad under shard_map-free
-jit — XLA inserts them from shardings).
+over a 1-D ``streams`` mesh riding ICI. Collectives appear in metrics
+(psum), data-parallel gradients (pmean via jax.grad under shard_map-free
+jit — XLA inserts them from shardings), and the tensor-parallel serving
+cell (parallel/tp.py: Megatron col/row level sharding with psum between
+pairs — the axis that keeps arbitrarily wide plans VMEM-resident).
 """
 
 from audio_denoising_tpu.parallel.mesh import (
     make_mesh, replicated, shard_batch, shard_engine_step, shard_pytree_batch,
 )
+from audio_denoising_tpu.parallel.tp import make_tp_plan_cell
 
 __all__ = ["make_mesh", "replicated", "shard_batch", "shard_engine_step",
-           "shard_pytree_batch"]
+           "shard_pytree_batch", "make_tp_plan_cell"]

@@ -129,10 +129,6 @@ def make_tp_plan_cell(plan: CellPlan, mesh: Mesh, axis: Optional[str] = None):
     over device-put sharded weight stacks."""
     axis = axis or mesh.axis_names[0]
     D = int(mesh.shape[axis])
-    if plan.delta:
-        raise NotImplementedError(
-            "TP plan cell: delta (MOMO3) carry not wired yet — "
-            "non-delta GRUUNet/MOMO2 plans only")
     down_modes, up_modes, gates_gather, out_gather, skip_state = \
         _plan_levels(plan, D)
 
@@ -208,7 +204,7 @@ def make_tp_plan_cell(plan: CellPlan, mesh: Mesh, axis: Optional[str] = None):
             out = out + skip @ lvl.s_mat
         return out, "full"
 
-    def local_step(x_t, hx, *weights):
+    def local_step(x_in, hx, *weights):
         # re-wire the closed-over levels to the shard_map-local leaves
         it = iter(weights)
         loc_downs = [lvl._replace(mat=next(it),
@@ -222,7 +218,7 @@ def make_tp_plan_cell(plan: CellPlan, mesh: Mesh, axis: Optional[str] = None):
             loc_ups.append(lvl._replace(mat=m, bias=b, s_mat=s))
         r_mat, r_bias = next(it), next(it)
 
-        h, par = x_t, "full"
+        h, par = x_in, "full"
         skips = [(h, par)]
         for lvl in loc_downs:
             h, par = _apply(lvl, h, par)
@@ -276,7 +272,16 @@ def make_tp_plan_cell(plan: CellPlan, mesh: Mesh, axis: Optional[str] = None):
         out_specs=(P(), P()),
         **_CHECK_KW)
 
-    def step(x_t: jnp.ndarray, hx: jnp.ndarray):
+    def step(x_t: jnp.ndarray, hx: jnp.ndarray,
+             prev: Optional[jnp.ndarray] = None):
+        # delta (MOMO3) plans: level 0 is affine in (x_t, prev) jointly
+        # (momo3.py:286-289) — the concat is full/replicated, so it rides
+        # the same col/row schedule with 2F input rows; the caller carries
+        # prev' = x_t exactly like runtime.plan.plan_cell
+        if plan.delta:
+            if prev is None:
+                raise ValueError("delta plan: prev frame required")
+            x_t = jnp.concatenate([x_t, prev], axis=-1)
         return mapped(x_t, hx, *flat_weights)
 
     step.modes = {"down": down_modes, "up": up_modes,

@@ -107,11 +107,33 @@ class TestTPPlanCell:
         np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_tp),
                                    atol=2e-5)
 
-    def test_delta_plan_rejected(self, rng):
+    def test_momo3_delta_plan(self, rng):
+        """MOMO3 delta carry: level 0 is affine in (x_t, prev) jointly —
+        the full concat rides the same schedule; rollout parity with the
+        reference plan including the prev chain."""
         from audio_denoising_tpu.hub import load_pretrained
         from audio_denoising_tpu.runtime.plan import build_cell_plan_momo
         cfg, model, params = load_pretrained("momo3-4d4ea0")
         plan = build_cell_plan_momo(model, params)
+        assert plan.delta
         mesh = make_mesh(8, "tp")
-        with pytest.raises(NotImplementedError, match="delta"):
-            make_tp_plan_cell(plan, mesh)
+        step = jax.jit(make_tp_plan_cell(plan, mesh))
+        with pytest.raises(ValueError, match="prev"):
+            step_raw = make_tp_plan_cell(plan, mesh)
+            step_raw(jnp.zeros((1, model.num_bins)),
+                     jnp.zeros((1, plan.hidden * plan.compressed)))
+        B, F = 2, model.num_bins
+        n = plan.hidden * plan.compressed
+        hx = jnp.asarray(rng.standard_normal((B, n)) * 0.1, jnp.float32)
+        prev = jnp.zeros((B, F), jnp.float32)
+        for t in range(3):
+            x = jnp.asarray(rng.standard_normal((B, F)) * 0.3, jnp.float32)
+            if t == 0:
+                prev = x        # delta-0 at t=0 (momo3 semantics)
+            y_ref, hx_ref = plan_cell(plan, x, hx, prev)
+            y_tp, hx_tp = step(x, hx, prev)
+            np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_tp),
+                                       atol=2e-5)
+            np.testing.assert_allclose(np.asarray(hx_ref),
+                                       np.asarray(hx_tp), atol=2e-5)
+            hx, prev = hx_tp, x

@@ -123,10 +123,13 @@ class ServingConfig:
 
     max_streams: int = 256
     chunk_samples: int = 768          # samples consumed per stream per step
-    # matmul compute dtype for the fused serving kernels ('float32' or
-    # 'bfloat16'): bf16 doubles MXU rate / halves weight VMEM at a
-    # test-locked parity bound (tests/test_fused_hop.py,
-    # tests/test_webrtc_hop.py). State always stays fp32.
+    # matmul compute dtype for the serving cell ('float32', 'bfloat16' or
+    # 'int8'): bf16 doubles MXU rate / halves weight VMEM at a test-locked
+    # parity bound (tests/test_fused_hop.py, tests/test_webrtc_hop.py);
+    # int8 (engine mode 'fast': W8A8 matrixized plan, runtime/quant.py)
+    # runs the MXU's native int8 path with dynamic activation scales at a
+    # test-locked agreement bound (tests/test_quant.py). State always
+    # stays fp32.
     dtype: str = "float32"
     mesh_axis: str = "streams"        # 1-D mesh axis the batch is sharded over
     state_decay: float = 1.0          # server.py:214 uses hx *= 0.9

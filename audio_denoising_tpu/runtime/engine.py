@@ -207,6 +207,18 @@ class StreamEngine:
                 f"implement the gate; downgrading to 'fast'", stacklevel=2)
             mode = self.mode = "fast"
 
+        if cfg.serving.dtype == "int8" and mode != "fast":
+            # int8 serving is implemented in the op-by-op plan path
+            # (runtime/quant.py via PlanModel); the Pallas kernels' int8
+            # variant is not built — don't let the bf16 cast path
+            # misinterpret the dtype
+            import warnings
+            warnings.warn(
+                f"serving dtype 'int8' is implemented for engine mode "
+                f"'fast' only; downgrading mode {mode!r} to 'fast'",
+                stacklevel=2)
+            mode = self.mode = "fast"
+
         if mode in ("fused", "fused-webrtc") and not pallas_interpret \
                 and not hasattr(model, "geo"):
             # VMEM capacity gate (mirrors PlanModel): the one-kernel hops
@@ -243,6 +255,13 @@ class StreamEngine:
                 mode = self.mode = fallback
 
         if mode == "fast":
+            if cfg.serving.dtype == "int8":
+                # W8A8 serving (runtime/quant.py): swap the zoo model for
+                # the quantized matrixized plan — same cell interface, so
+                # the fast step, masked commit and snapshots are untouched
+                from audio_denoising_tpu.runtime.plan import PlanModel
+                model = self.model = PlanModel(model, params,
+                                               quantized=True)
             step = make_fast_step(cfg, model)
             self.state = fast_init_state(cfg, model, self.n)
             self._zero_one = fast_init_state(cfg, model, 1)

@@ -350,7 +350,7 @@ class PlanModel:
     FUSED_VMEM_BUDGET = 100 * 2**20
 
     def __init__(self, model, params, fused: bool = False,
-                 interpret: bool = False):
+                 interpret: bool = False, quantized: bool = False):
         self.inner = model
         self.is_momo = hasattr(model, "geo")
         if self.is_momo:
@@ -360,6 +360,23 @@ class PlanModel:
         self.num_bins = model.num_bins
         self.fused = fused
         self.interpret = interpret
+        self.quantized = quantized
+        if quantized:
+            # W8A8 serving (runtime/quant.py): every dense plan matmul in
+            # int8 with dynamic per-frame activation scales — the MXU
+            # int8-rate / quarter-VMEM knob. Composes with the op-by-op
+            # path only (the fused int8 kernel is a separate variant).
+            if fused:
+                raise ValueError("quantized=True requires fused=False")
+            from audio_denoising_tpu.runtime.quant import (
+                plan_cell_q, quantize_plan)
+            self.qplan = quantize_plan(self.plan)
+            if self.plan.delta:
+                self._cell = lambda x, hx, prev: plan_cell_q(
+                    self.qplan, x, hx, prev=prev)
+            else:
+                self._cell = lambda x, hx: plan_cell_q(self.qplan, x, hx)
+            return
         if fused and not interpret:
             # VMEM capacity gate: the one-kernel cell holds EVERY plan
             # matrix resident in VMEM (constant index maps), so a wide
@@ -428,6 +445,10 @@ class PlanModel:
         if x.shape[1] == 1 and not self.plan.delta:
             y, hx = self._cell(x[:, 0], hx)
             return y[:, None], hx
+        if self.quantized:
+            from audio_denoising_tpu.runtime.quant import (
+                plan_apply_parallel_q)
+            return plan_apply_parallel_q(self.qplan, x, hx)
         return plan_apply_parallel(self.plan, x, hx)
 
     def __call__(self, params, x, hx=None):

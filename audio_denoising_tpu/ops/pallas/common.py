@@ -19,21 +19,34 @@ def hdot(a, b):
                    precision=jax.lax.Precision.HIGHEST)
 
 
-def pack_plan_weights(plan) -> Tuple[List, List[bool]]:
+def pack_plan_weights(plan, quantize: bool = False
+                      ) -> Tuple[List, List[bool]]:
     """Flatten a CellPlan into the kernel operand list (fixed order:
     down (mat, bias) pairs, reset (mat, bias), up (mat, bias[, skip_mat])
     per level) + the per-level skip flags. Biases become (1, n) rows (TPU
-    wants >= 2-D operands)."""
+    wants >= 2-D operands).
+
+    ``quantize=True`` (the int8 kernel variant): every MATRIX is emitted
+    as the pair (int8 matrix, (1, cols) fp32 per-column scale row) —
+    runtime.quant.quantize_mat semantics — so the kernel's weight VMEM
+    quarters and the MXU runs its native int8 path; biases stay fp32."""
+    def mat(m):
+        if not quantize:
+            return [m]
+        from audio_denoising_tpu.runtime.quant import quantize_mat
+        qm = quantize_mat(m)
+        return [qm.q, qm.scale[None, :]]
+
     weights = []
     for m, b in zip(plan.down_mats, plan.down_biases):
-        weights += [m, b[None, :]]
-    weights += [plan.reset_mat, plan.reset_bias[None, :]]
+        weights += mat(m) + [b[None, :]]
+    weights += mat(plan.reset_mat) + [plan.reset_bias[None, :]]
     skip_flags = []
     L = len(plan.down_mats)
     for i in range(L):
-        weights += [plan.up_h_mats[i], plan.up_biases[i][None, :]]
+        weights += mat(plan.up_h_mats[i]) + [plan.up_biases[i][None, :]]
         if plan.up_s_mats[i] is not None:
-            weights.append(plan.up_s_mats[i])
+            weights += mat(plan.up_s_mats[i])
             skip_flags.append(True)
         else:
             skip_flags.append(False)
@@ -53,37 +66,83 @@ def plan_cell_math(w, skip_flags, n: int, feat: int, delta: bool,
 
     ``compute_dtype=bfloat16``: the caller stores the weight MATRICES in
     bf16 (biases stay fp32); activations cast to bf16 at each matmul,
-    fp32 accumulate — the reduced-precision serving variant."""
+    fp32 accumulate — the reduced-precision serving variant.
+
+    ``compute_dtype=int8``: the caller packed with
+    ``pack_plan_weights(quantize=True)`` — each matrix slot is the pair
+    (int8 matrix, (1, cols) fp32 scale row); activations quantize per
+    row from their live max, the dot runs int8 x int8 -> int32 (the
+    MXU's native int8 path), and the rank-1 dequant folds into the
+    following elementwise stage (runtime/quant.qdot semantics)."""
     L = len(skip_flags)
-    bf = compute_dtype is not None and \
+    quant = compute_dtype is not None and \
+        jnp.dtype(compute_dtype) == jnp.dtype(jnp.int8)
+    bf = compute_dtype is not None and not quant and \
         jnp.dtype(compute_dtype) != jnp.dtype(jnp.float32)
 
-    def mdot(a, m):
+    def mdot(a, m, scale=None, row_scale=None):
+        if quant:
+            acc = jnp.dot(a, m, preferred_element_type=jnp.int32)
+            return acc.astype(jnp.float32) * row_scale * scale
         if bf:
             return jnp.dot(a.astype(jnp.bfloat16), m,
                            preferred_element_type=jnp.float32)
         return hdot(a, m)
 
-    def dot(a, b):
-        return mdot(a, b[:] if hasattr(b, "shape") else b)
+    def quantize_rows(a):
+        ax = jnp.max(jnp.abs(a), axis=-1, keepdims=True)
+        sx = jnp.where(ax > 0, ax / 127.0, 1.0)
+        aq = jnp.clip(jnp.round(a / sx), -127, 127).astype(jnp.int8)
+        return aq, sx
 
+    # weight walk: a matrix slot is (mat[, scale]) depending on quant
     wi = 0
+
+    def next_mat():
+        nonlocal wi
+        m = w[wi]
+        wi += 1
+        if quant:
+            s = w[wi][0]
+            wi += 1
+            return m, s
+        return m, None
+
+    def next_bias():
+        nonlocal wi
+        b = w[wi][0]
+        wi += 1
+        return b
+
+    def dot(a, mat, scale):
+        if quant:
+            aq, sx = quantize_rows(a)
+            return mdot(aq, mat[:] if hasattr(mat, "shape") else mat,
+                        scale, sx)
+        return mdot(a, mat[:] if hasattr(mat, "shape") else mat)
+
     h = x
     skips = [h]
     for i in range(L):
+        m, s = next_mat()
         if i == 0 and delta:
             # level 0 is affine in (x, prev) jointly — split the 2F-row
             # matrix instead of materializing cat(x, prev)
-            w0 = w[0][:]
-            h = jnp.maximum(mdot(h, w0[:feat]) + mdot(prev, w0[feat:])
-                            + w[1][0], 0.0)
+            w0 = m[:]
+            if quant:
+                hq, h_s = quantize_rows(h)
+                pq, p_s = quantize_rows(prev)
+                lin = mdot(hq, w0[:feat], s, h_s) + \
+                    mdot(pq, w0[feat:], s, p_s)
+            else:
+                lin = mdot(h, w0[:feat]) + mdot(prev, w0[feat:])
+            h = jnp.maximum(lin + next_bias(), 0.0)
         else:
-            h = jnp.maximum(dot(h, w[wi]) + w[wi + 1][0], 0.0)
-        wi += 2
+            h = jnp.maximum(dot(h, m, s) + next_bias(), 0.0)
         skips.append(h)
     gate_x = h
-    gate_h = jnp.maximum(dot(hx, w[wi]) + w[wi + 1][0], 0.0)
-    wi += 2
+    m, s = next_mat()
+    gate_h = jnp.maximum(dot(hx, m, s) + next_bias(), 0.0)
     i_r, i_i, i_n = (gate_x[:, :n], gate_x[:, n:2 * n], gate_x[:, 2 * n:])
     h_r, h_i, h_n = (gate_h[:, :n], gate_h[:, n:2 * n], gate_h[:, 2 * n:])
     inputgate = jax.nn.sigmoid(i_i + h_i)
@@ -92,10 +151,10 @@ def plan_cell_math(w, skip_flags, n: int, feat: int, delta: bool,
     hi = newgate + inputgate * (hx - newgate)
     h = hi
     for i in range(L):
-        out = dot(h, w[wi]) + w[wi + 1][0]
-        wi += 2
+        m, s = next_mat()
+        out = dot(h, m, s) + next_bias()
         if skip_flags[i]:
-            out = out + dot(skips[L - i], w[wi])
-            wi += 1
+            m2, s2 = next_mat()
+            out = out + dot(skips[L - i], m2, s2)
         h = jnp.maximum(out, 0.0) if i != L - 1 else out
     return h, hi

@@ -129,6 +129,14 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
     the fp32 kernel is test-locked (tests/test_fused_hop.py) — dead
     weight on the relay-attached chip (dispatch-bound), but the first
     knob to flip on a locally-attached deployment.
+
+    ``compute_dtype=int8``: W8A8 plan matmuls (runtime/quant.py
+    semantics — per-column weight scales packed as operand rows, dynamic
+    per-frame activation scales computed in-kernel, int32 MXU
+    accumulate) at a QUARTER of the fp32 weight VMEM; the DSP matmuls
+    (DFT/mel) stay bf16 for reconstruction numerics. Agreement bounds
+    test-locked; on-chip lowering validated by
+    tools/validate_int8_fused.py before any engine default flips.
     """
     dsp = cfg.dsp
     srv = cfg.serving
@@ -177,12 +185,20 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
     consts += [win[None, :].astype(np.float32), env_hop[None, :]]
     from audio_denoising_tpu.ops.pallas.common import (
         pack_plan_weights, plan_cell_math)
-    weights, skip_flags = pack_plan_weights(plan)
-    # bf16 variant: matrices (shape[0] > 1) stored bf16; bias/window/env
-    # rows (1, n) and all state stay fp32
-    bf = jnp.dtype(compute_dtype) != jnp.dtype(jnp.float32)
+    # int8 variant: plan matrices quantized W8A8 (pack emits int8 mat +
+    # fp32 per-column scale row; plan_cell_math does the dynamic row
+    # quant + int32 MXU dot). The DSP matmuls (DFT pair, mel pair) run
+    # bf16 — reconstruction numerics need float, and bf16 already halves
+    # their VMEM.
+    quant = jnp.dtype(compute_dtype) == jnp.dtype(jnp.int8)
+    weights, skip_flags = pack_plan_weights(plan, quantize=quant)
+    # bf16 variant: matrices (shape[0] > 1) stored bf16; bias/scale/
+    # window/env rows (1, n), int8 payloads and all state stay fp32
+    bf = not quant and jnp.dtype(compute_dtype) != jnp.dtype(jnp.float32)
+    dsp_bf = bf or quant
     cast = (lambda a: a.astype(jnp.bfloat16)
-            if (bf and a.shape[0] > 1) else a)
+            if (dsp_bf and a.shape[0] > 1
+                and jnp.issubdtype(a.dtype, jnp.floating)) else a)
     operands = [cast(jnp.asarray(c)) for c in consts] + \
                [cast(jnp.asarray(w)) for w in weights]
     n_consts = len(consts)
@@ -222,7 +238,7 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             cf, sf, ic, is_, melr, imelr, win_r, env_r = cs
 
         def dot(a, b):
-            if bf:
+            if dsp_bf:
                 return jnp.dot(a.astype(jnp.bfloat16), b[:],
                                preferred_element_type=jnp.float32)
             return jnp.dot(a, b[:], preferred_element_type=jnp.float32,

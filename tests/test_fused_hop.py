@@ -431,3 +431,72 @@ class TestFusedHopGate:
                 np.asarray(eng.state.nf_floor[eng.slots["a"]]), floor_b)
         finally:
             fh.make_fused_hop = orig
+
+
+class TestFusedHopInt8:
+    """W8A8 kernel variant (compute_dtype=int8): plan matmuls run the
+    MXU's native int8 path with in-kernel dynamic activation scales
+    (runtime/quant.qdot semantics); DSP matmuls stay bf16. Weight VMEM
+    quarters vs fp32 — the wide-flagship plan (137 MB) drops to ~34 MB,
+    inside the fused budget."""
+
+    def test_agreement_vs_fp32_kernel(self, setup, rng):
+        cfg, model, params, plan = setup
+        B, hop = 4, cfg.dsp.hop_length
+        f32 = make_fused_hop(cfg, plan, interpret=True)
+        i8 = make_fused_hop(cfg, plan, interpret=True,
+                            compute_dtype=jnp.int8)
+        s0 = s1 = fused_hop_init_state(cfg, plan, B)
+        worst = np.inf
+        for _ in range(15):
+            chunk = jnp.asarray(0.1 * rng.standard_normal((B, hop)),
+                                jnp.float32)
+            s0, o0 = f32(s0, chunk)
+            s1, o1 = i8(s1, chunk)
+            num = float(jnp.sum((o0 - o1) ** 2))
+            den = float(jnp.sum(o0 ** 2))
+            worst = min(worst, 10 * np.log10(den / max(num, 1e-20)))
+        assert worst > 25.0, worst
+
+    def test_multi_hop_matches_single(self, setup, rng):
+        cfg, model, params, plan = setup
+        B, K, hop = 3, 4, cfg.dsp.hop_length
+        single = make_fused_hop(cfg, plan, interpret=True,
+                                compute_dtype=jnp.int8)
+        multi = make_fused_hop(cfg, plan, interpret=True,
+                               compute_dtype=jnp.int8, hops_per_call=K)
+        chunks = jnp.asarray(0.1 * rng.standard_normal((K, B, hop)),
+                             jnp.float32)
+        s = fused_hop_init_state(cfg, plan, B)
+        sK, oK = multi(s, chunks)
+        s1 = s
+        for k in range(K):
+            s1, ok = single(s1, chunks[k])
+            np.testing.assert_allclose(np.asarray(oK[k]), np.asarray(ok),
+                                       atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sK.hx), np.asarray(s1.hx),
+                                   atol=1e-5)
+
+    def test_momo3_delta_int8(self, momo_setup, rng):
+        """Delta plans: level 0's split (x, prev) matmuls each quantize
+        with their own row scales. The raw-domain delta family agrees
+        less tightly than mel GRUUNets (~17 dB vs ~34: wider input
+        dynamic range + small delta features) — int8 is a per-checkpoint
+        serving choice, validated end-to-end by tools/eval_quant.py."""
+        cfg, model, params, plan = momo_setup
+        B, hop = 2, cfg.dsp.hop_length
+        f32 = make_fused_hop(cfg, plan, interpret=True)
+        i8 = make_fused_hop(cfg, plan, interpret=True,
+                            compute_dtype=jnp.int8)
+        s0 = s1 = fused_hop_init_state(cfg, plan, B)
+        assert s0.prev is not None
+        worst = np.inf
+        for _ in range(10):
+            chunk = jnp.asarray(0.1 * rng.standard_normal((B, hop)),
+                                jnp.float32)
+            s0, o0 = f32(s0, chunk)
+            s1, o1 = i8(s1, chunk)
+            num = float(jnp.sum((o0 - o1) ** 2))
+            den = float(jnp.sum(o0 ** 2))
+            worst = min(worst, 10 * np.log10(den / max(num, 1e-20)))
+        assert worst > 15.0, worst

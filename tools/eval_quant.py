@@ -13,20 +13,19 @@ the sweep short.
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
-def sisdr(est, ref):
-    L = min(len(est), len(ref))
-    est = np.asarray(est[:L], np.float64)
-    ref = np.asarray(ref[:L], np.float64)
-    a = np.dot(est, ref) / max(np.dot(ref, ref), 1e-12)
-    t = a * ref
-    n = est - t
-    return 10 * np.log10(max(np.dot(t, t), 1e-12)
-                         / max(np.dot(n, n), 1e-12))
+if os.environ.get("ADT_FORCE_CPU") == "1":
+    # relay-outage escape hatch (cli.py:118): in-process, before any
+    # backend init — shell-level JAX_PLATFORMS does not stick here
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main():
@@ -37,9 +36,12 @@ def main():
                    help="all manifest blocks (default: one per SNR bracket)")
     args = p.parse_args()
 
+    import jax.numpy as jnp
     from audio_denoising_tpu.apps.evaluate import build_manifest_set
+    from audio_denoising_tpu.train.eval_metrics import si_sdr_db
     from audio_denoising_tpu.apps.offline import denoise_array
     from audio_denoising_tpu.hub import load_pretrained
+    from audio_denoising_tpu.ops.resample import resample
     from audio_denoising_tpu.runtime.plan import PlanModel
 
     manifest = json.load(open(args.manifest))
@@ -54,20 +56,27 @@ def main():
     mixture, clean, gains, src_sr, digest = build_manifest_set(manifest)
 
     cfg, model, params = load_pretrained(args.ckpt)
+    sr = cfg.dsp.sample_rate
+    # metrics at the model's rate, exactly like evaluate_manifest
+    if src_sr != sr:
+        mixture = np.asarray(resample(jnp.asarray(mixture), src_sr, sr))
+        clean = np.asarray(resample(jnp.asarray(clean), src_sr, sr))
+    crop = mixture.shape[-1]
     pm_fp = PlanModel(model, params)
     pm_q = PlanModel(model, params, quantized=True)
 
     d_fp, d_q, agree = [], [], []
     for i in range(len(mixture)):
-        o_fp = denoise_array(cfg, pm_fp, None, mixture[i], src_sr)
-        o_q = denoise_array(cfg, pm_q, None, mixture[i], src_sr)
-        cl = np.asarray(clean[i])
-        L = min(len(o_fp), len(cl), len(o_q))
-        d_fp.append(sisdr(o_fp, cl))
-        d_q.append(sisdr(o_q, cl))
+        o_fp = np.asarray(denoise_array(cfg, pm_fp, None, mixture[i],
+                                        sr))[:crop]
+        o_q = np.asarray(denoise_array(cfg, pm_q, None, mixture[i],
+                                       sr))[:crop]
+        cl = jnp.asarray(clean[i][None, :len(o_fp)])
+        d_fp.append(float(si_sdr_db(cl, jnp.asarray(o_fp[None]))[0]))
+        d_q.append(float(si_sdr_db(cl, jnp.asarray(o_q[None]))[0]))
         agree.append(10 * np.log10(
-            np.sum(o_fp[:L] ** 2)
-            / max(np.sum((o_fp[:L] - o_q[:L]) ** 2), 1e-20)))
+            np.sum(o_fp ** 2)
+            / max(np.sum((o_fp - o_q) ** 2), 1e-20)))
     d_fp, d_q = np.array(d_fp), np.array(d_q)
     delta = d_q - d_fp
     print(json.dumps({

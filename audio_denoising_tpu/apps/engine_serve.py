@@ -41,10 +41,14 @@ class EngineDaemon:
                  address=("localhost", 6102), mode: str = "fast",
                  tick_ms: float = 1.0, multichip: bool = False,
                  pipeline_depth: int = 2, snr_gate_db: float = None,
-                 snr_gate_width_db: float = None):
+                 snr_gate_width_db: float = None, dtype: str = None):
         self.cfg, self.model, self.params = load_pretrained(spec)
         from audio_denoising_tpu.config import with_snr_gate
         self.cfg = with_snr_gate(self.cfg, snr_gate_db, snr_gate_width_db)
+        if dtype is not None:
+            import dataclasses
+            self.cfg = dataclasses.replace(self.cfg, serving=dataclasses.replace(
+                self.cfg.serving, dtype=dtype))
         mesh = None
         if multichip:
             import jax
@@ -199,6 +203,12 @@ def main(argv=None) -> int:
                         "tuned default 10)")
     p.add_argument("--snr-gate-width", type=float, default=None,
                    help="gate transition width in dB (tuned default 4)")
+    p.add_argument("--dtype", choices=["float32", "bfloat16", "int8"],
+                   default=None,
+                   help="serving compute dtype override: bfloat16 halves "
+                        "fused-kernel weight VMEM at 2x MXU rate; int8 "
+                        "serves the W8A8 quantized plan (mode 'fast', "
+                        "runtime/quant.py)")
     p.add_argument("--multichip", action="store_true",
                    help="shard stream slots over all devices (1-D mesh)")
     p.add_argument("--pipeline-depth", type=int, default=2,
@@ -209,5 +219,6 @@ def main(argv=None) -> int:
                  args.mode, args.tick_ms, multichip=args.multichip,
                  pipeline_depth=args.pipeline_depth,
                  snr_gate_db=args.snr_gate,
-                 snr_gate_width_db=args.snr_gate_width).serve_forever()
+                 snr_gate_width_db=args.snr_gate_width,
+                 dtype=args.dtype).serve_forever()
     return 0

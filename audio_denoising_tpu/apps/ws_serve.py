@@ -78,11 +78,15 @@ class WSDaemon:
                  port: int = 8765, max_streams: int = 256,
                  mode: str = "fast", tick_ms: float = 1.0,
                  pipeline_depth: int = 2, snr_gate_db: float = None,
-                 snr_gate_width_db: float = None):
+                 snr_gate_width_db: float = None, dtype: str = None):
         self.spec = spec
         self.cfg, self.model, self.params = load_pretrained(spec)
         from audio_denoising_tpu.config import with_snr_gate
         self.cfg = with_snr_gate(self.cfg, snr_gate_db, snr_gate_width_db)
+        if dtype is not None:
+            import dataclasses
+            self.cfg = dataclasses.replace(self.cfg, serving=dataclasses.replace(
+                self.cfg.serving, dtype=dtype))
         self.engine = StreamEngine(self.cfg, self.model, self.params,
                                    mode=mode, max_streams=max_streams)
         self.addr = (host, port)
@@ -244,9 +248,14 @@ def main(argv=None) -> int:
                         "10) — protects near-clean streams")
     p.add_argument("--snr-gate-width", type=float, default=None,
                    help="gate transition width in dB (tuned default 4)")
+    p.add_argument("--dtype", choices=["float32", "bfloat16", "int8"],
+                   default=None,
+                   help="serving compute dtype override (int8 = W8A8 "
+                        "quantized plan, mode 'fast')")
     args = p.parse_args(argv)
     WSDaemon(args.model, args.host, args.port, args.max_streams,
              args.mode, pipeline_depth=args.pipeline_depth,
              snr_gate_db=args.snr_gate,
-             snr_gate_width_db=args.snr_gate_width).serve_forever()
+             snr_gate_width_db=args.snr_gate_width,
+             dtype=args.dtype).serve_forever()
     return 0

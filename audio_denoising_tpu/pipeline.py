@@ -295,6 +295,13 @@ class WebRTCState(NamedTuple):
     # (device_put of complex64 is UNIMPLEMENTED), so state leaves jit as
     # real planes and re-wraps inside the step
     gl_angles: Optional[jnp.ndarray] = None
+    # SNR-gate noise-floor carry (ops/noisefloor.py), present only when
+    # cfg.serving.snr_gate_db is set. Tracked on the UN-normalized newest
+    # STFT frame per hop (the per-hop peak normalization would otherwise
+    # mix scales into the EMA; the older frames overlap previous hops).
+    nf_smooth: Optional[jnp.ndarray] = None   # (B, F)
+    nf_floor: Optional[jnp.ndarray] = None    # (B, F)
+    nf_total: Optional[jnp.ndarray] = None    # (B,)
 
 
 def _webrtc_frames(cfg: Config) -> int:
@@ -313,11 +320,17 @@ def webrtc_init_state(cfg: Config, model, batch: int,
                       _np.float32)
         a[..., 0] = 1.0
         angles = jnp.asarray(a)
+    gate = cfg.serving.snr_gate_db is not None
     return WebRTCState(
         ring=jnp.zeros((batch, n_fft), dtype),
         ola=jnp.zeros((batch, n_fft), dtype),
         hx=model.init_state(batch, dtype),
         gl_angles=angles,
+        nf_smooth=(jnp.zeros((batch, cfg.dsp.n_stft), dtype)
+                   if gate else None),
+        nf_floor=(jnp.zeros((batch, cfg.dsp.n_stft), dtype)
+                  if gate else None),
+        nf_total=jnp.zeros((batch,), dtype) if gate else None,
     )
 
 
@@ -360,6 +373,29 @@ def make_webrtc_step(cfg: Config, model):
         recon = jax.nn.leaky_relu(x - resid, negative_slope=0.2)
         mel_mag = jnp.maximum(jnp.expm1(jnp.swapaxes(recon, -1, -2)), 0.0)
         lin_mag = inverse_mel_scale(mel_mag, inv)
+        nf_s, nf_f, nf_t = state.nf_smooth, state.nf_floor, state.nf_total
+        if cfg.serving.snr_gate_db is not None:
+            # per-stream SNR gate (ops/noisefloor.py): blend the GL
+            # target magnitudes toward the input magnitudes on
+            # near-clean streams — Griffin-Lim then reconstructs the
+            # (near-)input spectrum instead of the model's suppression.
+            # The tracker eats ONE new frame per hop, UN-normalized
+            # (see WebRTCState note).
+            from audio_denoising_tpu.ops.noisefloor import (
+                FloorState, floor_rise_per_frame, floor_step, gate_alpha,
+                smooth_beta_per_frame, snr_db_from_floor,
+                total_beta_per_frame)
+            power = (mag[..., -1] * peak) ** 2            # (B, F)
+            fs = floor_step(
+                FloorState(nf_s, nf_f, nf_t), power,
+                smooth_beta_per_frame(hop, dsp.sample_rate),
+                floor_rise_per_frame(hop, dsp.sample_rate),
+                total_beta_per_frame(hop, dsp.sample_rate))
+            nf_s, nf_f, nf_t = fs.smooth, fs.floor, fs.total
+            snr = snr_db_from_floor(fs.total, jnp.mean(nf_f, axis=-1))
+            alpha = gate_alpha(snr, cfg.serving.snr_gate_db,
+                               cfg.serving.snr_gate_width_db)[:, None, None]
+            lin_mag = alpha * lin_mag + (1.0 - alpha) * mag
         if dsp.griffin_lim_warm_start:
             # re-seed from the carried phases, shifted one frame (the
             # window advanced one hop); the new frame reuses the last
@@ -385,7 +421,9 @@ def make_webrtc_step(cfg: Config, model):
         ola = jnp.concatenate(
             [state.ola[:, hop:], jnp.zeros_like(state.ola[:, :hop])], axis=-1)
         ola = ola + frame
-        return WebRTCState(ring=ring, ola=ola, hx=hx, gl_angles=angles), out
+        return WebRTCState(ring=ring, ola=ola, hx=hx, gl_angles=angles,
+                           nf_smooth=nf_s, nf_floor=nf_f,
+                           nf_total=nf_t), out
 
     return step
 

@@ -193,19 +193,19 @@ class StreamEngine:
                 "max_streams must divide evenly over the mesh")
         self.hop = cfg.dsp.hop_length
 
-        if cfg.serving.snr_gate_db is not None and mode not in ("fast",
-                                                                "unet",
-                                                                "fused"):
+        if cfg.serving.snr_gate_db is not None and mode == "fused-webrtc":
             # the SNR gate is implemented in the op-by-op fast step, the
-            # segment path (offline_denoise_stateless) and IN-KERNEL in
-            # the fused Pallas hop; the GL webrtc paths do not carry the
-            # noise-floor state — downgrade rather than silently serve
-            # ungated (the gate is a clean-audio-safety feature)
+            # segment path (offline_denoise_stateless), IN-KERNEL in the
+            # fused Pallas hop, and the op-by-op webrtc GL step; the
+            # fused webrtc kernel does not carry the noise-floor state —
+            # downgrade to the op-by-op GL path (same audio semantics)
+            # rather than silently serve ungated
             import warnings
             warnings.warn(
-                f"snr_gate_db is set but engine mode {mode!r} does not "
-                f"implement the gate; downgrading to 'fast'", stacklevel=2)
-            mode = self.mode = "fast"
+                "snr_gate_db is set but the fused webrtc kernel does not "
+                "implement the gate; downgrading to 'webrtc'",
+                stacklevel=2)
+            mode = self.mode = "webrtc"
 
         if cfg.serving.dtype == "int8" and mode != "fast":
             # int8 serving is implemented in the op-by-op plan path

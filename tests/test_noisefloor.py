@@ -203,23 +203,73 @@ class TestPipelineGate:
         assert np.abs(out0[a:b] - audio[a - delay:b - delay]).mean() > 0.01
 
     def test_gate_unsupported_mode_downgrades(self):
-        """Modes without noise-floor state (the GL webrtc paths) must not
-        silently serve ungated: the engine downgrades to 'fast' with a
+        """The one mode without noise-floor state (the fused webrtc
+        kernel) must not silently serve ungated: the engine downgrades
+        to the op-by-op 'webrtc' GL path (same audio semantics) with a
         warning. ('fused' carries the gate IN-KERNEL since round 4 —
-        tests/test_fused_hop.py::TestFusedHopGate.)"""
+        tests/test_fused_hop.py::TestFusedHopGate; 'webrtc' carries it
+        in the step.)"""
         import dataclasses
         import warnings
         from audio_denoising_tpu.hub import load_pretrained
         from audio_denoising_tpu.runtime.engine import StreamEngine
-        cfg0, model, params = self._setup()
+        cfg0, model, params = load_pretrained("gruunet2-dari_tult")
         cfg = dataclasses.replace(cfg0, serving=dataclasses.replace(
             cfg0.serving, snr_gate_db=8.0))
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
-            eng = StreamEngine(cfg, model, params, mode="webrtc",
+            eng = StreamEngine(cfg, model, params, mode="fused-webrtc",
                                max_streams=2, pallas_interpret=True)
-        assert eng.mode == "fast"
+        assert eng.mode == "webrtc"
         assert any("snr_gate" in str(x.message) for x in w)
+
+    def test_gate_in_webrtc_gl_mode(self, rng):
+        """Gate wired through the op-by-op webrtc GL step: a forced
+        passthrough gate makes the GL targets the INPUT magnitudes, so
+        the output tracks the input far better than the denoised path;
+        a never-pass gate reproduces the ungated output exactly
+        (alpha saturates to 1)."""
+        import dataclasses
+        from audio_denoising_tpu.hub import load_pretrained
+        from audio_denoising_tpu.runtime.engine import StreamEngine
+        cfg0, model, params = load_pretrained("gruunet2-dari_tult")
+
+        def run(gate_db):
+            cfg = cfg0
+            if gate_db is not None:
+                cfg = dataclasses.replace(cfg0, serving=dataclasses.replace(
+                    cfg0.serving, snr_gate_db=gate_db,
+                    snr_gate_width_db=1.0))
+            eng = StreamEngine(cfg, model, params, mode="webrtc",
+                               max_streams=1)
+            eng.add_stream("a")
+            if gate_db is not None:
+                assert eng.state.nf_floor is not None
+            hop = cfg.dsp.hop_length
+            n_ticks = 30
+            t_ax = np.arange(n_ticks * hop, dtype=np.float32)
+            audio = (0.3 * np.sin(2 * np.pi * 500 * t_ax / 48000)
+                     + 0.01 * rng.standard_normal(n_ticks * hop)
+                     ).astype(np.float32)
+            out = np.concatenate(
+                [eng.process({"a": audio[t * hop:(t + 1) * hop]})["a"]
+                 for t in range(n_ticks)])
+            return audio, out
+
+        rng = np.random.default_rng(7)
+        _, out_denoise = run(200.0)      # alpha ~ 1 everywhere
+        audio, out_pass = run(-60.0)     # alpha ~ 0 everywhere
+        # Stable surfaces only (docs/BENCHMARKS.md: GL phase is chaotic,
+        # and GL synthesizes its OWN phase — sample-wise correlation
+        # with the input is meaningless even for perfect passthrough):
+        # the passthrough gate must restore the input's ENERGY while the
+        # suppressing model (trained on other data) crushes this tone.
+        half = len(audio) // 2
+        rms_in = float(np.sqrt(np.mean(audio[half:] ** 2)))
+        rms_pass = float(np.sqrt(np.mean(out_pass[half:] ** 2)))
+        rms_den = float(np.sqrt(np.mean(out_denoise[half:] ** 2)))
+        assert 0.5 * rms_in < rms_pass < 2.0 * rms_in, (rms_pass, rms_in)
+        assert rms_den < 0.1 * rms_pass, (rms_den, rms_pass)
 
     def test_gate_in_stateless_path(self, rng):
         """The same gate wires through offline_denoise_stateless. The

@@ -24,6 +24,18 @@ run_eval () {  # $1 ckpt  $2 manifest  $3... extra flags
   echo "eval $name @$tag rc=$?" >> /tmp/eval_queue.log
 }
 
+run_eval_gated () {  # $1 ckpt  $2 manifest  $3 gate_db  $4 width_db
+  local ckpt=$1 manifest=$2 gate=$3 width=$4
+  [ -f "$ckpt" ] || { echo "skip: $ckpt missing" >> /tmp/eval_queue.log; return; }
+  local name=$(basename "$ckpt" .npz)-gate${gate}w${width}
+  local tag=$(basename "$manifest" .json | sed 's/eval_manifest_//')
+  timeout 7200 python -m audio_denoising_tpu eval --model "$ckpt" \
+    --manifest "$manifest" --snr-gate "$gate" --snr-gate-width "$width" \
+    --save-per-example runs/eval_${tag}/${name}.npz \
+    > /tmp/eval_${name}_${tag}.log 2>&1
+  echo "eval $name @$tag rc=$?" >> /tmp/eval_queue.log
+}
+
 run_compare () {  # $1 ckpt_a  $2 ckpt_b  $3 manifest
   [ -f "$1" ] && [ -f "$2" ] || { echo "skip compare: $1 vs $2" >> /tmp/eval_queue.log; return; }
   local name=$(basename "$1" .npz)-vs-$(basename "$2" .npz)
@@ -39,6 +51,11 @@ FLAG=runs/gruunet2mel128w64-mrstft-50k.npz
 #    the serving gate, plus paired-vs-incumbent
 run_eval runs/gruunet2mel128w64-mrstft-idp-50k.npz $V2
 run_compare runs/gruunet2mel128w64-mrstft-idp-50k.npz $FLAG $V2
+# serving-gate prong (tuned on runs/snr_gate_tuning.json: gate8_w4 best
+# mean; VERDICT #1 'done' = +10 dB bracket >= 0): idp ckpt AND the r3
+# incumbent, both gated, so the training and serving prongs separate
+run_eval_gated runs/gruunet2mel128w64-mrstft-idp-50k.npz $V2 8 4
+run_eval_gated $FLAG $V2 8 4
 
 # 2. d5 depth verdict
 run_eval runs/gruunet2mel128d5w64-mrstft-50k.npz $V2

@@ -331,12 +331,25 @@ class StreamEngine:
         # phase scalar (segment cycle position); other modes ignore it.
         self._cadence_locked = mode == "unet"
         if self._cadence_locked:
-            step4 = step
+            raw4 = step
             self._seg_hops = cfg.serving.unet_seg_hops
         else:
-            step4 = lambda params, state, chunk, phase: step(params, state,
-                                                             chunk)
+            raw4 = lambda params, state, chunk, phase: step(params, state,
+                                                            chunk)
             self._seg_hops = 1
+
+        def step4(params, state, chunk, phase):
+            # ingress sanitization: a client chunk carrying NaN/Inf would
+            # otherwise poison the slot's recurrent state PERMANENTLY (the
+            # carry never forgets a NaN, and masked commit can't help — the
+            # poisoned tick IS a real chunk). Neutralize non-finite samples
+            # to 0 under the same jit (fused, zero extra dispatch); finite
+            # samples pass through untouched. The reference has no such
+            # guard (server.py:191 feeds conn.recv() straight to the
+            # model) — a production serving surface needs one.
+            chunk = jnp.where(jnp.isfinite(chunk), chunk,
+                              jnp.zeros_like(chunk))
+            return raw4(params, state, chunk, phase)
         self._phase = 0
         self._phase_consts = [jnp.int32(i) for i in range(self._seg_hops)]
 

@@ -128,6 +128,46 @@ class TestStreamEngine:
         state2, y2 = step(params, state_b, jnp.asarray(x1))
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
 
+    def test_nonfinite_ingress_is_sanitized(self, rng):
+        """A chunk carrying NaN/Inf must not poison the slot's recurrent
+        state: the engine neutralizes non-finite samples to 0 at ingress
+        (in-jit), so the tick behaves exactly as if those samples were
+        silence and the stream keeps serving clean audio afterwards."""
+        model, params = _model()
+        hop = FAST_CFG.dsp.hop_length
+        eng = StreamEngine(FAST_CFG, model, params, mode="fast",
+                           max_streams=2)
+        ref = StreamEngine(FAST_CFG, model, params, mode="fast",
+                           max_streams=2)
+        for e in (eng, ref):
+            e.add_stream("a")
+            e.add_stream("b")
+
+        poisoned = rng.standard_normal(hop).astype(np.float32) * 0.1
+        cleaned = poisoned.copy()
+        poisoned[::7] = np.nan
+        poisoned[3::11] = np.inf
+        poisoned[5::13] = -np.inf
+        cleaned[::7] = 0.0
+        cleaned[3::11] = 0.0
+        cleaned[5::13] = 0.0
+        clean_b = rng.standard_normal(hop).astype(np.float32) * 0.1
+
+        out = eng.process({"a": poisoned, "b": clean_b})
+        out_ref = ref.process({"a": cleaned, "b": clean_b})
+        for sid in ("a", "b"):
+            assert np.isfinite(out[sid]).all()
+            np.testing.assert_allclose(out[sid], out_ref[sid], atol=1e-6)
+        # the stream RECOVERS: subsequent clean ticks match the
+        # never-poisoned engine exactly (state was not corrupted)
+        for _ in range(3):
+            chunk = rng.standard_normal(hop).astype(np.float32) * 0.1
+            out = eng.process({"a": chunk, "b": clean_b})
+            out_ref = ref.process({"a": chunk, "b": clean_b})
+            np.testing.assert_allclose(out["a"], out_ref["a"], atol=1e-6)
+        assert all(np.isfinite(leaf).all()
+                   for leaf in jax.tree_util.tree_leaves(eng.state))
+
     def test_webrtc_mode_engine(self, rng):
         model, params = _model()
         cfg = Config(dsp=DSPConfig(n_fft=1024, hop_length=512, n_mels=64,

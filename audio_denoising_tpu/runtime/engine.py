@@ -207,16 +207,18 @@ class StreamEngine:
                 stacklevel=2)
             mode = self.mode = "webrtc"
 
-        if cfg.serving.dtype == "int8" and mode != "fast":
+        if cfg.serving.dtype == "int8" and mode not in ("fast", "fused"):
             # int8 serving is implemented in the op-by-op plan path
-            # (runtime/quant.py via PlanModel); the Pallas kernels' int8
-            # variant is not built — don't let the bf16 cast path
-            # misinterpret the dtype
+            # (runtime/quant.py via PlanModel) and the one-kernel fused
+            # hop (W8A8 variant, on-chip Mosaic lowering validated by
+            # tools/validate_int8_fused.py: 33 dB agreement vs fp32);
+            # the webrtc/unet kernels have no int8 variant — don't let
+            # their bf16 cast path misinterpret the dtype
             import warnings
             warnings.warn(
-                f"serving dtype 'int8' is implemented for engine mode "
-                f"'fast' only; downgrading mode {mode!r} to 'fast'",
-                stacklevel=2)
+                f"serving dtype 'int8' is implemented for engine modes "
+                f"'fast' and 'fused' only; downgrading mode {mode!r} to "
+                f"'fast'", stacklevel=2)
             mode = self.mode = "fast"
 
         if mode in ("fused", "fused-webrtc") and not pallas_interpret \
@@ -315,7 +317,8 @@ class StreamEngine:
                 plan = build_cell_plan(model, params)
             if mesh is not None:
                 hop_step = make_fused_hop_sharded(
-                    cfg, plan, mesh, interpret=pallas_interpret)
+                    cfg, plan, mesh, interpret=pallas_interpret,
+                    compute_dtype=jnp.dtype(cfg.serving.dtype))
             else:
                 hop_step = make_fused_hop(
                     cfg, plan, compute_dtype=jnp.dtype(cfg.serving.dtype),

@@ -151,7 +151,39 @@ class TestEngineInt8:
                               / max(np.sum((a - b) ** 2), 1e-20))
         assert agree > 20.0, agree
 
-    def test_engine_fused_int8_downgrades(self, setup):
+    def test_engine_fused_int8_serves_fused(self, setup, rng):
+        """serving.dtype='int8' + mode 'fused' keeps the one-kernel W8A8
+        hop (on-chip Mosaic lowering validated round 4,
+        tools/validate_int8_fused.py: 33 dB vs fp32) and closely tracks
+        the fp32 fused engine over a multi-tick stream."""
+        import dataclasses
+        from audio_denoising_tpu.runtime.engine import StreamEngine
+        cfg, model, params, plan = setup
+        cfg8 = dataclasses.replace(cfg, serving=dataclasses.replace(
+            cfg.serving, dtype="int8"))
+        e_fp = StreamEngine(cfg, model, params, mode="fused",
+                            max_streams=2, pallas_interpret=True)
+        e_q = StreamEngine(cfg8, model, params, mode="fused",
+                           max_streams=2, pallas_interpret=True)
+        assert e_q.mode == "fused"
+        e_fp.add_stream("a")
+        e_q.add_stream("a")
+        hop = cfg.dsp.hop_length
+        outs_fp, outs_q = [], []
+        for t in range(12):
+            chunk = (0.1 * rng.standard_normal(hop)).astype(np.float32)
+            outs_fp.append(e_fp.process({"a": chunk})["a"])
+            outs_q.append(e_q.process({"a": chunk})["a"])
+        a = np.concatenate(outs_fp)[2 * hop:]
+        b = np.concatenate(outs_q)[2 * hop:]
+        agree = 10 * np.log10(np.sum(a ** 2)
+                              / max(np.sum((a - b) ** 2), 1e-20))
+        assert agree > 20.0, agree
+
+    def test_engine_webrtc_int8_downgrades(self, setup):
+        """Modes without an int8 kernel variant (webrtc) still downgrade
+        to the quantized op-by-op 'fast' path rather than serving a
+        misinterpreted dtype."""
         import dataclasses
         import warnings
         from audio_denoising_tpu.runtime.engine import StreamEngine
@@ -160,7 +192,7 @@ class TestEngineInt8:
             cfg.serving, dtype="int8"))
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
-            eng = StreamEngine(cfg8, model, params, mode="fused",
+            eng = StreamEngine(cfg8, model, params, mode="webrtc",
                                max_streams=2, pallas_interpret=True)
         assert eng.mode == "fast"
         assert any("int8" in str(x.message) for x in w)

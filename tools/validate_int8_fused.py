@@ -12,9 +12,14 @@ Prints one JSON line: {"ok": bool, "agreement_db": ..., "error": ...}.
 """
 
 import json
+import os
 import sys
 
 import numpy as np
+
+# runnable as `python tools/validate_int8_fused.py` from the repo root
+# (script-dir sys.path doesn't see the package)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -41,10 +41,12 @@ class EngineDaemon:
                  address=("localhost", 6102), mode: str = "fast",
                  tick_ms: float = 1.0, multichip: bool = False,
                  pipeline_depth: int = 2, snr_gate_db: float = None,
-                 snr_gate_width_db: float = None, dtype: str = None):
+                 snr_gate_width_db: float = None,
+                 snr_gate_estimator: str = None, dtype: str = None):
         self.cfg, self.model, self.params = load_pretrained(spec)
         from audio_denoising_tpu.config import with_snr_gate
-        self.cfg = with_snr_gate(self.cfg, snr_gate_db, snr_gate_width_db)
+        self.cfg = with_snr_gate(self.cfg, snr_gate_db, snr_gate_width_db,
+                                 snr_gate_estimator)
         if dtype is not None:
             import dataclasses
             self.cfg = dataclasses.replace(self.cfg, serving=dataclasses.replace(
@@ -202,7 +204,11 @@ def main(argv=None) -> int:
                         "— protects near-clean streams (ops/noisefloor.py; "
                         "tuned default 10)")
     p.add_argument("--snr-gate-width", type=float, default=None,
-                   help="gate transition width in dB (tuned default 4)")
+                   help="gate transition width in dB (tuned default 3)")
+    p.add_argument("--snr-gate-estimator", default=None,
+                   choices=("removed", "floor"),
+                   help="gate SNR estimator (default 'removed': "
+                        "model-informed; ops/noisefloor.py)")
     p.add_argument("--dtype", choices=["float32", "bfloat16", "int8"],
                    default=None,
                    help="serving compute dtype override: bfloat16 halves "
@@ -220,5 +226,6 @@ def main(argv=None) -> int:
                  pipeline_depth=args.pipeline_depth,
                  snr_gate_db=args.snr_gate,
                  snr_gate_width_db=args.snr_gate_width,
+                 snr_gate_estimator=args.snr_gate_estimator,
                  dtype=args.dtype).serve_forever()
     return 0

@@ -85,7 +85,21 @@ def main(argv=None) -> int:
     p.add_argument("output", help="output WAV path")
     p.add_argument("--model", default="gruunet2-good",
                    help="preset name, .npz, or reference .pth checkpoint")
+    p.add_argument("--snr-gate", type=float, default=None,
+                   help="SNR-gated passthrough blend (dB) — protects "
+                        "near-clean input (ServingConfig.snr_gate_db)")
+    p.add_argument("--snr-gate-width", type=float, default=None)
+    p.add_argument("--snr-gate-estimator", default=None,
+                   choices=("removed", "floor"),
+                   help="gate SNR estimator (ops/noisefloor.py)")
     args = p.parse_args(argv)
-    path = denoise_file(args.model, args.input, args.output)
+    cfg = None
+    if args.snr_gate is not None:
+        from audio_denoising_tpu.config import with_snr_gate
+        from audio_denoising_tpu.hub import load_pretrained as _lp
+        cfg, _, _ = _lp(args.model)
+        cfg = with_snr_gate(cfg, args.snr_gate, args.snr_gate_width,
+                            args.snr_gate_estimator)
+    path = denoise_file(args.model, args.input, args.output, cfg=cfg)
     print(f"wrote {path}")
     return 0

@@ -1,5 +1,8 @@
-"""Model-independent input-SNR estimation: per-bin noise-floor tracking.
+"""Input-SNR estimation for the serving-side SNR gate.
 
+Two estimators (ServingConfig.snr_gate_estimator):
+
+``floor`` — model-independent per-bin noise-floor tracking.
 Minimum-statistics-style tracker (Martin '01 simplified to a jit-able
 O(bins) carry): per-bin spectral power is EMA-smoothed (the raw chi²(2)
 power's minima run to zero — smoothing bounds the min bias), then the
@@ -9,6 +12,19 @@ the floor while steady noise defines it. Both time constants are
 expressed in SECONDS and converted per (hop, sample_rate); the residual
 min bias at the defaults measures ~1.2x (calibrated on chi²(2) noise),
 compensated in the SNR estimate.
+
+``removed`` (default) — model-informed: the denoiser itself is the best
+noise estimator in the chain. Per frame, the power the model REMOVED
+(mean over bins of (P_in - P_out) clipped at 0) estimates the noise and
+the output power estimates the signal; both run through long EMAs
+(TOTAL_TAU_SECONDS) and their ratio is the stream SNR. On the frozen
+manifest-v2 mixtures (round 4, nonstationary kaggle noise) this
+estimator separates true -5/0 dB inputs from +10 dB with 0.92 threshold
+accuracy vs the floor tracker's 0.81 — min-statistics under-reads
+nonstationary noise (est. spread sd ~7 dB, worst true -5 dB stream read
+as +23 dB "clean", which made the floor-gated blend DAMAGE the -5 dB
+bracket by -1.8 dB SI-SDR, paired, either checkpoint). ``removed`` costs
+two scalar EMAs per stream vs the floor tracker's two (B, F) planes.
 
 Used by the serving-side SNR gate (ServingConfig.snr_gate_db): the output
 magnitude blends toward passthrough on near-clean input — the causal
@@ -129,3 +145,68 @@ def gate_alpha(snr_db: jnp.ndarray, gate_db: float,
     """Denoise weight in [0, 1]: 1 below the gate (noisy -> denoise),
     0 far above it (clean -> passthrough)."""
     return jax.nn.sigmoid((gate_db - snr_db) / max(width_db, 1e-3))
+
+
+# --------------------------------------------------------------------------
+# Model-informed estimator: SNR from what the model removed
+# --------------------------------------------------------------------------
+
+class RemovedState(NamedTuple):
+    """Carry for the 'removed' estimator: long EMAs of the model's output
+    power (signal proxy) and removed power (noise proxy), both (B,)."""
+    out: jnp.ndarray
+    rem: jnp.ndarray
+
+
+def removed_init(batch: int, dtype=jnp.float32) -> RemovedState:
+    """Zeros latch to the first frame's powers (see ``removed_step``)."""
+    return RemovedState(out=jnp.zeros((batch,), dtype),
+                        rem=jnp.zeros((batch,), dtype))
+
+
+def removed_powers(power_in: jnp.ndarray, power_out: jnp.ndarray,
+                   axis: int = -1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-frame (signal, noise) power proxies from the model's own pass:
+    bin-mean output power, and bin-mean of the power the model removed
+    (clipped at 0 per bin — bins the model AMPLIFIED say nothing about
+    the noise). ``axis`` is the bin axis of linear spectral powers."""
+    p_out = jnp.mean(power_out, axis=axis)
+    p_rem = jnp.mean(jnp.maximum(power_in - power_out, 0.0), axis=axis)
+    return p_out, p_rem
+
+
+def removed_step(state: RemovedState, p_out_t: jnp.ndarray,
+                 p_rem_t: jnp.ndarray, beta_tot: float) -> RemovedState:
+    """One causal frame update of both EMAs. An all-zero carry (freshly
+    admitted engine slot) LATCHES to the current powers, like
+    ``floor_step`` — a zero 'rem' EMA would otherwise read +inf SNR and
+    force passthrough on a stream that just started mid-noise."""
+    fresh = (state.out + state.rem) <= 0.0
+    out = jnp.where(fresh, p_out_t,
+                    beta_tot * state.out + (1.0 - beta_tot) * p_out_t)
+    rem = jnp.where(fresh, p_rem_t,
+                    beta_tot * state.rem + (1.0 - beta_tot) * p_rem_t)
+    return RemovedState(out=out, rem=rem)
+
+
+def removed_snr_db(state: RemovedState) -> jnp.ndarray:
+    """Stream-level SNR estimate (B,) from the EMA pair."""
+    return 10.0 * jnp.log10((state.out + _EPS) / (state.rem + _EPS))
+
+
+def removed_snr_scan(p_out: jnp.ndarray, p_rem: jnp.ndarray,
+                     beta_tot: float, init: RemovedState = None
+                     ) -> Tuple[jnp.ndarray, RemovedState]:
+    """Causal SNR trajectory over a frame sequence.
+
+    p_out, p_rem: (B, T) per-frame powers -> (snr_db (B, T), final
+    RemovedState). ``init`` seeds the carry (streaming)."""
+    state = removed_init(p_out.shape[0], p_out.dtype) if init is None \
+        else init
+
+    def step(s, pv):
+        s = removed_step(s, pv[0], pv[1], beta_tot)
+        return s, removed_snr_db(s)
+
+    last, snrs = jax.lax.scan(step, state, (p_out.T, p_rem.T))
+    return snrs.T, last

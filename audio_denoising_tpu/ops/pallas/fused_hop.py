@@ -22,10 +22,11 @@ collapse into one kernel.
 
 Semantics follow engine.make_fast_step exactly — including the optional
 serving-side SNR gate (ServingConfig.snr_gate_db, ops/noisefloor.py):
-the per-bin noise-floor tracker runs IN-KERNEL on three extra VMEM state
-planes, so the fastest serving mode keeps the clean-audio-safety blend.
-Parity is tested in tests/test_fused_hop.py (CPU interpret mode) and
-on-chip.
+the SNR estimator runs IN-KERNEL on extra VMEM state planes (estimator
+'removed': two broadcast-scalar EMA planes; 'floor': the per-bin tracker
+on three planes), so the fastest serving mode keeps the
+clean-audio-safety blend. Parity is tested in tests/test_fused_hop.py
+(CPU interpret mode) and on-chip.
 """
 
 from typing import NamedTuple, Optional, Tuple
@@ -68,16 +69,19 @@ class FusedHopState(NamedTuple):
     # delta models (MOMO3): previous feature frame, the cell input's second
     # half (cat([x_t, x_t - prev]), momo3.py:286-289). None otherwise.
     prev: Optional[jnp.ndarray] = None
-    # SNR-gate noise-floor carry (ops/noisefloor.py), present only when
+    # SNR-gate carry (ops/noisefloor.py), present only when
     # cfg.serving.snr_gate_db is set — the gate runs IN-KERNEL (cheap VPU
-    # elementwise + two row reductions), so the fastest serving mode keeps
+    # elementwise + row reductions), so the fastest serving mode keeps
     # the clean-audio-safety feature instead of downgrading to op-by-op.
-    # nf_total is the (B,) long power EMA stored as a (B, _TOT_W) plane
+    # estimator 'floor' carries the nf_* planes; 'removed' (default) the
+    # em_* EMA pair. Scalar (B,) EMAs are stored as (B, _TOT_W) planes
     # (TPU state buffers are 2-D lane-tiled; column 0 is authoritative,
     # the rest carry the same broadcast value).
     nf_smooth: Optional[jnp.ndarray] = None   # (B, F)
     nf_floor: Optional[jnp.ndarray] = None    # (B, F)
     nf_total: Optional[jnp.ndarray] = None    # (B, _TOT_W)
+    em_out: Optional[jnp.ndarray] = None      # (B, _TOT_W)
+    em_rem: Optional[jnp.ndarray] = None      # (B, _TOT_W)
 
 
 # lane width of the nf_total plane (the TPU vector lane tile)
@@ -96,15 +100,22 @@ def fused_hop_init_state(cfg: Config, plan, batch: int) -> FusedHopState:
     if plan.delta:
         prev = jnp.zeros((batch, _feat_width(cfg)), jnp.float32)
     gate = cfg.serving.snr_gate_db is not None
+    floor = gate and cfg.serving.snr_gate_estimator == "floor"
+    removed = gate and not floor
     F = cfg.dsp.n_stft
     return FusedHopState(
         ring=jnp.zeros((batch, n_fft), jnp.float32),
         ola=jnp.zeros((batch, n_fft), jnp.float32),
         hx=jnp.zeros((batch, plan.hidden * plan.compressed), jnp.float32),
         prev=prev,
-        nf_smooth=jnp.zeros((batch, F), jnp.float32) if gate else None,
-        nf_floor=jnp.zeros((batch, F), jnp.float32) if gate else None,
-        nf_total=jnp.zeros((batch, _TOT_W), jnp.float32) if gate else None)
+        nf_smooth=jnp.zeros((batch, F), jnp.float32) if floor else None,
+        nf_floor=jnp.zeros((batch, F), jnp.float32) if floor else None,
+        nf_total=(jnp.zeros((batch, _TOT_W), jnp.float32)
+                  if floor else None),
+        em_out=(jnp.zeros((batch, _TOT_W), jnp.float32)
+                if removed else None),
+        em_rem=(jnp.zeros((batch, _TOT_W), jnp.float32)
+                if removed else None))
 
 
 def make_fused_hop(cfg: Config, plan, interpret: bool = False,
@@ -155,10 +166,13 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
     feat = F if raw else M               # model feature width
     delta = plan.delta                   # MOMO3 (hx, prev) carry
     # in-kernel SNR gate (ops/noisefloor.py semantics, engine.make_fast_step
-    # parity): per-bin floor tracking + stream-level blend toward
-    # passthrough on near-clean input. Pure VPU work: two EMAs, a min, two
-    # row means, one exp — noise-floor state rides VMEM with the rest.
+    # parity): stream-level blend toward passthrough on near-clean input.
+    # Pure VPU work (EMAs, row means, one exp) — gate state rides VMEM
+    # with the rest. estimator 'removed' needs only two broadcast-scalar
+    # planes; 'floor' two extra (B, F) planes.
     gate = srv.snr_gate_db is not None
+    g_removed = gate and srv.snr_gate_estimator == "removed"
+    g_floor = gate and not g_removed
     if gate:
         from audio_denoising_tpu.ops.noisefloor import (
             FLOOR_BIAS, _EPS, floor_rise_per_frame, smooth_beta_per_frame,
@@ -206,10 +220,13 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
     n_consts = len(consts)
 
     # per-stream state planes, fixed order: ring, ola, hx[, prev]
-    # [, nf_smooth, nf_floor, nf_total]
-    n_state = 3 + (1 if delta else 0) + (3 if gate else 0)
+    # [, nf_smooth, nf_floor, nf_total | em_out, em_rem]
+    n_state = 3 + (1 if delta else 0) + \
+        (3 if g_floor else 2 if g_removed else 0)
     state_widths = [n_fft, n_fft, plan.hidden * plan.compressed] + \
-        ([feat] if delta else []) + ([F, F, _TOT_W] if gate else [])
+        ([feat] if delta else []) + \
+        ([F, F, _TOT_W] if g_floor else
+         [_TOT_W, _TOT_W] if g_removed else [])
 
     def kernel(*refs):
         ins = refs[:n_state + 1]                    # states + chunk
@@ -232,8 +249,10 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         if delta:
             prev_prev = states[si]
             si += 1
-        if gate:
+        if g_floor:
             nf_s, nf_f, nf_t = states[si:si + 3]
+        elif g_removed:
+            em_o, em_r = states[si:si + 2]
         if raw:
             cf, sf, ic, is_, win_r, env_r = cs
         else:
@@ -270,7 +289,7 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             # those bins resynthesize with inverted phase
             lin = jnp.maximum(dot(feat_mag, imelr), 0.0) * srv.output_gain
         nf_out = []
-        if gate:
+        if g_floor:
             # noisefloor.floor_step + snr_db_from_floor + gate_alpha in
             # Mosaic-safe form (exp/log only — no log10/expit lowering);
             # an all-zero carry (fresh slot) LATCHES rather than pinning
@@ -291,6 +310,30 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             alpha = 1.0 / (1.0 + jnp.exp(-z))                      # (B, 1)
             lin = alpha * lin + (1.0 - alpha) * mag
             nf_out = [smooth, floor, total + jnp.zeros_like(nf_t)]
+        elif g_removed:
+            # noisefloor.removed_step + removed_snr_db + gate_alpha in
+            # Mosaic-safe form: the model's own suppression is the noise
+            # estimate (measured rationale in ops/noisefloor.py). Zero
+            # carry (fresh slot) LATCHES like the floor tracker.
+            power = mag * mag
+            p_lin = lin * lin
+            p_out = jnp.mean(p_lin, axis=-1, keepdims=True)        # (B, 1)
+            p_rem = jnp.mean(jnp.maximum(power - p_lin, 0.0),
+                             axis=-1, keepdims=True)
+            o_prev = em_o[:, :1]
+            r_prev = em_r[:, :1]
+            fresh = (o_prev + r_prev) <= 0.0
+            o_new = jnp.where(fresh, p_out,
+                              g_beta_t * o_prev + (1.0 - g_beta_t) * p_out)
+            r_new = jnp.where(fresh, p_rem,
+                              g_beta_t * r_prev + (1.0 - g_beta_t) * p_rem)
+            snr_db = (10.0 / np.log(10.0)) * (jnp.log(o_new + _EPS)
+                                              - jnp.log(r_new + _EPS))
+            z = (srv.snr_gate_db - snr_db) / g_width
+            alpha = 1.0 / (1.0 + jnp.exp(-z))                      # (B, 1)
+            lin = alpha * lin + (1.0 - alpha) * mag
+            nf_out = [o_new + jnp.zeros_like(em_o),
+                      r_new + jnp.zeros_like(em_r)]
         # phase reuse as complex scaling; at mag ~ 0 match the fast path's
         # polar(lin, angle(0)=0) = lin + 0j
         safe = mag > 1e-8
@@ -355,18 +398,22 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         return [state.ring, state.ola, state.hx] + \
             ([state.prev] if delta else []) + \
             ([state.nf_smooth, state.nf_floor, state.nf_total]
-             if gate else [])
+             if g_floor else
+             [state.em_out, state.em_rem] if g_removed else [])
 
     def _rebuild_state(new_states) -> FusedHopState:
         si = 3
-        prev = nfs = nff = nft = None
+        prev = nfs = nff = nft = emo = emr = None
         if delta:
             prev = new_states[si]
             si += 1
-        if gate:
+        if g_floor:
             nfs, nff, nft = new_states[si:si + 3]
+        elif g_removed:
+            emo, emr = new_states[si:si + 2]
         return FusedHopState(*new_states[:3], prev=prev, nf_smooth=nfs,
-                             nf_floor=nff, nf_total=nft)
+                             nf_floor=nff, nf_total=nft,
+                             em_out=emo, em_rem=emr)
 
     def step_multi(state: FusedHopState, chunks: jnp.ndarray):
         k, b = chunks.shape[0], chunks.shape[1]
@@ -482,12 +529,16 @@ def make_fused_hop_sharded(cfg: Config, plan, mesh, interpret: bool = False,
                           compute_dtype=compute_dtype)
     axis = mesh.axis_names[0]
     gate = cfg.serving.snr_gate_db is not None
+    floor = gate and cfg.serving.snr_gate_estimator == "floor"
+    removed = gate and not floor
     state_spec = FusedHopState(
         ring=P(axis), ola=P(axis), hx=P(axis),
         prev=P(axis) if plan.delta else None,
-        nf_smooth=P(axis) if gate else None,
-        nf_floor=P(axis) if gate else None,
-        nf_total=P(axis) if gate else None)
+        nf_smooth=P(axis) if floor else None,
+        nf_floor=P(axis) if floor else None,
+        nf_total=P(axis) if floor else None,
+        em_out=P(axis) if removed else None,
+        em_rem=P(axis) if removed else None)
     chunk_spec = P(None, axis) if hops_per_call > 1 else P(axis)
 
     return shard_map(step, mesh=mesh,

@@ -66,23 +66,30 @@ def _to_linear(cfg: Config, feat_out: jnp.ndarray, inv) -> jnp.ndarray:
 def _apply_snr_gate(cfg: Config, mag: jnp.ndarray,
                     lin_mag: jnp.ndarray) -> jnp.ndarray:
     """SNR-gated output blend (ServingConfig.snr_gate_db; rationale in
-    ops/noisefloor.py): per-frame alpha in [0, 1] from a causal
-    noise-floor tracker; near-clean frames lean toward the INPUT
-    magnitude (with the reused noisy phase, passthrough-exact). No-op
-    when the gate is unset."""
-    if cfg.serving.snr_gate_db is None:
+    ops/noisefloor.py): per-frame alpha in [0, 1] from a causal SNR
+    estimator; near-clean frames lean toward the INPUT magnitude (with
+    the reused noisy phase, passthrough-exact). No-op when the gate is
+    unset. mag/lin_mag: (B, F, T) linear input/output magnitudes."""
+    srv = cfg.serving
+    if srv.snr_gate_db is None:
         return lin_mag
     from audio_denoising_tpu.ops.noisefloor import (
-        floor_rise_per_frame, gate_alpha, noise_floor_scan,
-        smooth_beta_per_frame, snr_db_from_floor, total_beta_per_frame)
+        floor_rise_per_frame, gate_alpha, noise_floor_scan, removed_powers,
+        removed_snr_scan, smooth_beta_per_frame, snr_db_from_floor,
+        total_beta_per_frame)
     power = mag * mag
     hop, sr = cfg.dsp.hop_length, cfg.dsp.sample_rate
-    floors, totals, _ = noise_floor_scan(
-        power, floor_rise_per_frame(hop, sr),
-        smooth_beta_per_frame(hop, sr), total_beta_per_frame(hop, sr))
-    snr = snr_db_from_floor(totals, jnp.mean(floors, axis=-2))  # (B, T)
-    alpha = gate_alpha(snr, cfg.serving.snr_gate_db,
-                       cfg.serving.snr_gate_width_db)[:, None, :]
+    if srv.snr_gate_estimator == "removed":
+        p_out, p_rem = removed_powers(power, lin_mag * lin_mag, axis=-2)
+        snr, _ = removed_snr_scan(p_out, p_rem,
+                                  total_beta_per_frame(hop, sr))  # (B, T)
+    else:
+        floors, totals, _ = noise_floor_scan(
+            power, floor_rise_per_frame(hop, sr),
+            smooth_beta_per_frame(hop, sr), total_beta_per_frame(hop, sr))
+        snr = snr_db_from_floor(totals, jnp.mean(floors, axis=-2))  # (B, T)
+    alpha = gate_alpha(snr, srv.snr_gate_db,
+                       srv.snr_gate_width_db)[:, None, :]
     return alpha * lin_mag + (1.0 - alpha) * mag
 
 
@@ -166,14 +173,17 @@ class UNetStreamState(NamedTuple):
     """Per-slot state for cadence-locked U-Net segment streaming."""
     ring: jnp.ndarray   # (B, ctx + seg + ctx) input sample history
     out: jnp.ndarray    # (B, seg) pending output segment
-    # SNR-gate noise-floor carry (ops/noisefloor.py), present only when
+    # SNR-gate carry (ops/noisefloor.py), present only when
     # cfg.serving.snr_gate_db is set. Carried ACROSS segment windows —
     # the per-window tracker inside offline_denoise_stateless cannot
     # converge in one ~0.1-0.2 s window (its floor seeds from the
     # window's first frame), which made the gate inert in this mode.
+    # estimator 'floor' uses the nf_* planes; 'removed' the em_* EMAs.
     nf_smooth: Optional[jnp.ndarray] = None   # (B, F)
     nf_floor: Optional[jnp.ndarray] = None    # (B, F)
     nf_total: Optional[jnp.ndarray] = None    # (B,)
+    em_out: Optional[jnp.ndarray] = None      # (B,)
+    em_rem: Optional[jnp.ndarray] = None      # (B,)
 
 
 def _unet_stream_geometry(cfg: Config) -> Tuple[int, int, int, int]:
@@ -186,14 +196,18 @@ def unet_stream_init_state(cfg: Config, model, batch: int,
                            dtype=jnp.float32) -> UNetStreamState:
     hop, _p, seg, ctx = _unet_stream_geometry(cfg)
     gate = cfg.serving.snr_gate_db is not None
+    floor = gate and cfg.serving.snr_gate_estimator == "floor"
+    removed = gate and not floor
     return UNetStreamState(
         ring=jnp.zeros((batch, ctx + seg + ctx), dtype),
         out=jnp.zeros((batch, seg), dtype),
         nf_smooth=(jnp.zeros((batch, cfg.dsp.n_stft), dtype)
-                   if gate else None),
+                   if floor else None),
         nf_floor=(jnp.zeros((batch, cfg.dsp.n_stft), dtype)
-                  if gate else None),
-        nf_total=jnp.zeros((batch,), dtype) if gate else None)
+                  if floor else None),
+        nf_total=jnp.zeros((batch,), dtype) if floor else None,
+        em_out=jnp.zeros((batch,), dtype) if removed else None,
+        em_rem=jnp.zeros((batch,), dtype) if removed else None)
 
 
 def make_unet_stream_step(cfg: Config, model):
@@ -221,42 +235,64 @@ def make_unet_stream_step(cfg: Config, model):
     """
     hop, seg_hops, seg, ctx = _unet_stream_geometry(cfg)
     gate = cfg.serving.snr_gate_db is not None
+    removed = gate and cfg.serving.snr_gate_estimator == "removed"
     if gate:
-        # the window denoise runs UNGATED; the gate applies here with a
-        # floor tracker carried ACROSS windows (see UNetStreamState note)
+        # the window denoise runs UNGATED; the gate applies here with an
+        # estimator carried ACROSS windows (see UNetStreamState note)
         import dataclasses
         from audio_denoising_tpu.ops.noisefloor import (
-            FloorState, floor_rise_per_frame, gate_alpha, noise_floor_scan,
+            FloorState, RemovedState, floor_rise_per_frame, gate_alpha,
+            noise_floor_scan, removed_snr_db, removed_step,
             smooth_beta_per_frame, snr_db_from_floor, total_beta_per_frame)
         cfg_inner = dataclasses.replace(
             cfg, serving=dataclasses.replace(cfg.serving, snr_gate_db=None))
-        win = hann_window(cfg.dsp.win)
-        rise = floor_rise_per_frame(cfg.dsp.hop_length, cfg.dsp.sample_rate)
-        beta = smooth_beta_per_frame(cfg.dsp.hop_length, cfg.dsp.sample_rate)
-        beta_t = total_beta_per_frame(cfg.dsp.hop_length,
-                                      cfg.dsp.sample_rate)
+        if removed:
+            # one EMA update per emitted SEGMENT, so the per-"frame"
+            # retention uses the segment length as the hop
+            beta_seg = total_beta_per_frame(seg, cfg.dsp.sample_rate)
+        else:
+            win = hann_window(cfg.dsp.win)
+            rise = floor_rise_per_frame(cfg.dsp.hop_length,
+                                        cfg.dsp.sample_rate)
+            beta = smooth_beta_per_frame(cfg.dsp.hop_length,
+                                         cfg.dsp.sample_rate)
+            beta_t = total_beta_per_frame(cfg.dsp.hop_length,
+                                          cfg.dsp.sample_rate)
     else:
         cfg_inner = cfg
 
-    def denoise_window(params, ring, nf):
+    def denoise_window(params, ring, g):
         den = offline_denoise_stateless(cfg_inner, model, params, ring)
         mid = jax.lax.dynamic_slice_in_dim(den, ctx, seg, axis=1)
         if not gate:
-            return mid, nf
-        # track the floor over the EMITTED middle span only — those
-        # samples are contiguous and non-overlapping across cycles, so
-        # the tracker sees each sample exactly once
+            return mid, g
+        # estimate over the EMITTED middle span only — those samples are
+        # contiguous and non-overlapping across cycles, so the estimator
+        # sees each sample exactly once
         mid_in = jax.lax.dynamic_slice_in_dim(ring, ctx, seg, axis=1)
-        spec = stft(mid_in, cfg.dsp.n_fft, cfg.dsp.hop_length, cfg.dsp.win,
-                    window=win)
-        power = jnp.abs(spec) ** 2
-        _f, _t, last = noise_floor_scan(power, rise, beta, beta_t,
-                                        init=FloorState(*nf))
-        snr = snr_db_from_floor(last.total, jnp.mean(last.floor, axis=-1))
+        if removed:
+            # model-informed estimator on time-domain segment powers
+            # (Parseval: equals the bin-mean spectral powers the spectral
+            # paths use, minus the per-bin clip — a whole segment is long
+            # enough that the segment-total removed power is the estimate)
+            p_in = jnp.mean(mid_in * mid_in, axis=1)
+            p_out = jnp.mean(mid * mid, axis=1)
+            p_rem = jnp.maximum(p_in - p_out, 0.0)
+            rs = removed_step(RemovedState(*g), p_out, p_rem, beta_seg)
+            snr = removed_snr_db(rs)
+            new_g = (rs.out, rs.rem)
+        else:
+            spec = stft(mid_in, cfg.dsp.n_fft, cfg.dsp.hop_length,
+                        cfg.dsp.win, window=win)
+            power = jnp.abs(spec) ** 2
+            _f, _t, last = noise_floor_scan(power, rise, beta, beta_t,
+                                            init=FloorState(*g))
+            snr = snr_db_from_floor(last.total,
+                                    jnp.mean(last.floor, axis=-1))
+            new_g = (last.smooth, last.floor, last.total)
         alpha = gate_alpha(snr, cfg.serving.snr_gate_db,
                            cfg.serving.snr_gate_width_db)[:, None]
-        return alpha * mid + (1.0 - alpha) * mid_in, \
-            (last.smooth, last.floor, last.total)
+        return alpha * mid + (1.0 - alpha) * mid_in, new_g
 
     def step(params, state: UNetStreamState, chunk: jnp.ndarray,
              phase: jnp.ndarray):
@@ -264,14 +300,18 @@ def make_unet_stream_step(cfg: Config, model):
         # emit from the PREVIOUS cycle's buffer before (possibly) refilling
         out_hop = jax.lax.dynamic_slice_in_dim(state.out, phase * hop, hop,
                                                axis=1)
-        nf = (state.nf_smooth, state.nf_floor, state.nf_total)
-        new_out, nf = jax.lax.cond(
+        g = ((state.em_out, state.em_rem) if removed
+             else (state.nf_smooth, state.nf_floor, state.nf_total))
+        new_out, g = jax.lax.cond(
             phase == seg_hops - 1,
-            lambda r: denoise_window(params, r, nf),
-            lambda r: (state.out, nf),
+            lambda r: denoise_window(params, r, g),
+            lambda r: (state.out, g),
             ring)
-        return UNetStreamState(ring=ring, out=new_out, nf_smooth=nf[0],
-                               nf_floor=nf[1], nf_total=nf[2]), out_hop
+        if removed:
+            return UNetStreamState(ring=ring, out=new_out,
+                                   em_out=g[0], em_rem=g[1]), out_hop
+        return UNetStreamState(ring=ring, out=new_out, nf_smooth=g[0],
+                               nf_floor=g[1], nf_total=g[2]), out_hop
 
     return step
 
@@ -295,13 +335,16 @@ class WebRTCState(NamedTuple):
     # (device_put of complex64 is UNIMPLEMENTED), so state leaves jit as
     # real planes and re-wraps inside the step
     gl_angles: Optional[jnp.ndarray] = None
-    # SNR-gate noise-floor carry (ops/noisefloor.py), present only when
+    # SNR-gate carry (ops/noisefloor.py), present only when
     # cfg.serving.snr_gate_db is set. Tracked on the UN-normalized newest
     # STFT frame per hop (the per-hop peak normalization would otherwise
     # mix scales into the EMA; the older frames overlap previous hops).
+    # estimator 'floor' uses the nf_* planes; 'removed' the em_* EMAs.
     nf_smooth: Optional[jnp.ndarray] = None   # (B, F)
     nf_floor: Optional[jnp.ndarray] = None    # (B, F)
     nf_total: Optional[jnp.ndarray] = None    # (B,)
+    em_out: Optional[jnp.ndarray] = None      # (B,)
+    em_rem: Optional[jnp.ndarray] = None      # (B,)
 
 
 def _webrtc_frames(cfg: Config) -> int:
@@ -321,16 +364,20 @@ def webrtc_init_state(cfg: Config, model, batch: int,
         a[..., 0] = 1.0
         angles = jnp.asarray(a)
     gate = cfg.serving.snr_gate_db is not None
+    floor = gate and cfg.serving.snr_gate_estimator == "floor"
+    removed = gate and not floor
     return WebRTCState(
         ring=jnp.zeros((batch, n_fft), dtype),
         ola=jnp.zeros((batch, n_fft), dtype),
         hx=model.init_state(batch, dtype),
         gl_angles=angles,
         nf_smooth=(jnp.zeros((batch, cfg.dsp.n_stft), dtype)
-                   if gate else None),
+                   if floor else None),
         nf_floor=(jnp.zeros((batch, cfg.dsp.n_stft), dtype)
-                  if gate else None),
-        nf_total=jnp.zeros((batch,), dtype) if gate else None,
+                  if floor else None),
+        nf_total=jnp.zeros((batch,), dtype) if floor else None,
+        em_out=jnp.zeros((batch,), dtype) if removed else None,
+        em_rem=jnp.zeros((batch,), dtype) if removed else None,
     )
 
 
@@ -374,25 +421,38 @@ def make_webrtc_step(cfg: Config, model):
         mel_mag = jnp.maximum(jnp.expm1(jnp.swapaxes(recon, -1, -2)), 0.0)
         lin_mag = inverse_mel_scale(mel_mag, inv)
         nf_s, nf_f, nf_t = state.nf_smooth, state.nf_floor, state.nf_total
+        em_o, em_r = state.em_out, state.em_rem
         if cfg.serving.snr_gate_db is not None:
             # per-stream SNR gate (ops/noisefloor.py): blend the GL
             # target magnitudes toward the input magnitudes on
             # near-clean streams — Griffin-Lim then reconstructs the
             # (near-)input spectrum instead of the model's suppression.
-            # The tracker eats ONE new frame per hop, UN-normalized
+            # The estimator eats ONE new frame per hop, UN-normalized
             # (see WebRTCState note).
             from audio_denoising_tpu.ops.noisefloor import (
-                FloorState, floor_rise_per_frame, floor_step, gate_alpha,
+                FloorState, RemovedState, floor_rise_per_frame, floor_step,
+                gate_alpha, removed_powers, removed_snr_db, removed_step,
                 smooth_beta_per_frame, snr_db_from_floor,
                 total_beta_per_frame)
             power = (mag[..., -1] * peak) ** 2            # (B, F)
-            fs = floor_step(
-                FloorState(nf_s, nf_f, nf_t), power,
-                smooth_beta_per_frame(hop, dsp.sample_rate),
-                floor_rise_per_frame(hop, dsp.sample_rate),
-                total_beta_per_frame(hop, dsp.sample_rate))
-            nf_s, nf_f, nf_t = fs.smooth, fs.floor, fs.total
-            snr = snr_db_from_floor(fs.total, jnp.mean(nf_f, axis=-1))
+            if cfg.serving.snr_gate_estimator == "removed":
+                # model-informed: normalization cancels in the ratio, but
+                # keep both sides at the same (un-normalized) scale so the
+                # EMAs average consistently across hops
+                p_out_bin = (lin_mag[..., -1] * peak) ** 2
+                p_out, p_rem = removed_powers(power, p_out_bin)
+                rs = removed_step(RemovedState(em_o, em_r), p_out, p_rem,
+                                  total_beta_per_frame(hop, dsp.sample_rate))
+                em_o, em_r = rs.out, rs.rem
+                snr = removed_snr_db(rs)
+            else:
+                fs = floor_step(
+                    FloorState(nf_s, nf_f, nf_t), power,
+                    smooth_beta_per_frame(hop, dsp.sample_rate),
+                    floor_rise_per_frame(hop, dsp.sample_rate),
+                    total_beta_per_frame(hop, dsp.sample_rate))
+                nf_s, nf_f, nf_t = fs.smooth, fs.floor, fs.total
+                snr = snr_db_from_floor(fs.total, jnp.mean(nf_f, axis=-1))
             alpha = gate_alpha(snr, cfg.serving.snr_gate_db,
                                cfg.serving.snr_gate_width_db)[:, None, None]
             lin_mag = alpha * lin_mag + (1.0 - alpha) * mag
@@ -423,7 +483,7 @@ def make_webrtc_step(cfg: Config, model):
         ola = ola + frame
         return WebRTCState(ring=ring, ola=ola, hx=hx, gl_angles=angles,
                            nf_smooth=nf_s, nf_floor=nf_f,
-                           nf_total=nf_t), out
+                           nf_total=nf_t, em_out=em_o, em_rem=em_r), out
 
     return step
 

@@ -35,12 +35,15 @@ class FastState(NamedTuple):
     ring: jnp.ndarray   # (B, n_fft) analysis window
     ola: jnp.ndarray    # (B, n_fft) synthesis accumulator
     hx: jnp.ndarray     # model hidden state (B, ...)
-    # SNR-gate noise-floor carry (ops/noisefloor.py); present only when
+    # SNR-gate carry (ops/noisefloor.py); present only when
     # cfg.serving.snr_gate_db is set (None leaves keep old snapshots and
-    # the ungated step bit-identical)
+    # the ungated step bit-identical). estimator 'floor' uses the nf_*
+    # planes; 'removed' the em_* scalar EMAs.
     nf_smooth: Optional[jnp.ndarray] = None   # (B, F)
     nf_floor: Optional[jnp.ndarray] = None    # (B, F)
     nf_total: Optional[jnp.ndarray] = None    # (B,) long power EMA
+    em_out: Optional[jnp.ndarray] = None      # (B,) output-power EMA
+    em_rem: Optional[jnp.ndarray] = None      # (B,) removed-power EMA
 
 
 def _init_carry(model, batch: int, dtype=jnp.float32):
@@ -59,6 +62,8 @@ def fast_init_state(cfg: Config, model, batch: int,
                     dtype=jnp.float32) -> FastState:
     n_fft = cfg.dsp.n_fft
     gate = cfg.serving.snr_gate_db is not None
+    floor = gate and cfg.serving.snr_gate_estimator == "floor"
+    removed = gate and not floor
     # distinct arrays: donation-based slot updates reject one buffer
     # appearing twice in the argument pytree
     return FastState(
@@ -66,10 +71,12 @@ def fast_init_state(cfg: Config, model, batch: int,
         ola=jnp.zeros((batch, n_fft), dtype),
         hx=_init_carry(model, batch, dtype),
         nf_smooth=(jnp.zeros((batch, cfg.dsp.n_stft), dtype)
-                   if gate else None),
+                   if floor else None),
         nf_floor=(jnp.zeros((batch, cfg.dsp.n_stft), dtype)
-                  if gate else None),
-        nf_total=jnp.zeros((batch,), dtype) if gate else None,
+                  if floor else None),
+        nf_total=jnp.zeros((batch,), dtype) if floor else None,
+        em_out=jnp.zeros((batch,), dtype) if removed else None,
+        em_rem=jnp.zeros((batch,), dtype) if removed else None,
     )
 
 
@@ -132,21 +139,30 @@ def make_fast_step(cfg: Config, model):
         nf_s = state.nf_smooth
         nf_f = state.nf_floor
         nf_t = state.nf_total
+        em_o, em_r = state.em_out, state.em_rem
         if srv.snr_gate_db is not None:
             # per-stream SNR gate (ops/noisefloor.py rationale): blend
             # the output magnitude toward passthrough on near-clean input
             from audio_denoising_tpu.ops.noisefloor import (
-                FloorState, floor_rise_per_frame, floor_step, gate_alpha,
+                FloorState, RemovedState, floor_rise_per_frame, floor_step,
+                gate_alpha, removed_powers, removed_snr_db, removed_step,
                 smooth_beta_per_frame, snr_db_from_floor,
                 total_beta_per_frame)
             power = mag * mag                                # (B, F)
-            fs = floor_step(FloorState(nf_s, nf_f, nf_t), power,
-                            smooth_beta_per_frame(hop, dsp.sample_rate),
-                            floor_rise_per_frame(hop, dsp.sample_rate),
-                            total_beta_per_frame(hop, dsp.sample_rate))
-            nf_s, nf_f, nf_t = fs.smooth, fs.floor, fs.total
-            snr = snr_db_from_floor(fs.total,
-                                    jnp.mean(nf_f, axis=-1))  # (B,)
+            if srv.snr_gate_estimator == "removed":
+                p_out, p_rem = removed_powers(power, lin * lin)
+                rs = removed_step(RemovedState(em_o, em_r), p_out, p_rem,
+                                  total_beta_per_frame(hop, dsp.sample_rate))
+                em_o, em_r = rs.out, rs.rem
+                snr = removed_snr_db(rs)                     # (B,)
+            else:
+                fs = floor_step(FloorState(nf_s, nf_f, nf_t), power,
+                                smooth_beta_per_frame(hop, dsp.sample_rate),
+                                floor_rise_per_frame(hop, dsp.sample_rate),
+                                total_beta_per_frame(hop, dsp.sample_rate))
+                nf_s, nf_f, nf_t = fs.smooth, fs.floor, fs.total
+                snr = snr_db_from_floor(fs.total,
+                                        jnp.mean(nf_f, axis=-1))  # (B,)
             alpha = gate_alpha(snr, srv.snr_gate_db,
                                srv.snr_gate_width_db)[:, None]
             lin = alpha * lin + (1.0 - alpha) * mag
@@ -157,7 +173,8 @@ def make_fast_step(cfg: Config, model):
         ola = jnp.concatenate(
             [acc[:, hop:], jnp.zeros_like(acc[:, :hop])], axis=-1)
         return FastState(ring=ring, ola=ola, hx=hx, nf_smooth=nf_s,
-                         nf_floor=nf_f, nf_total=nf_t), out_hop
+                         nf_floor=nf_f, nf_total=nf_t,
+                         em_out=em_o, em_rem=em_r), out_hop
 
     return step
 

@@ -341,11 +341,12 @@ class TestFusedHopGate:
     safety blend instead of downgrading to the op-by-op fast step
     (ops/noisefloor.py semantics; engine.make_fast_step is the oracle)."""
 
-    def _gated_cfg(self, setup):
+    def _gated_cfg(self, setup, estimator="floor"):
         import dataclasses
         cfg, model, params, plan = setup
         cfg = dataclasses.replace(cfg, serving=dataclasses.replace(
-            cfg.serving, snr_gate_db=10.0, snr_gate_width_db=4.0))
+            cfg.serving, snr_gate_db=10.0, snr_gate_width_db=4.0,
+            snr_gate_estimator=estimator))
         return cfg, model, params, plan
 
     def _bursty(self, rng, B, hop, t):
@@ -429,6 +430,95 @@ class TestFusedHopGate:
                 np.asarray(eng.state.nf_floor[eng.slots["b"]]), floor_b)
             assert not np.array_equal(
                 np.asarray(eng.state.nf_floor[eng.slots["a"]]), floor_b)
+        finally:
+            fh.make_fused_hop = orig
+
+
+class TestFusedHopGateRemoved:
+    """In-kernel 'removed' (model-informed) estimator — the default gate
+    estimator since round 4 session 4. Same oracle: engine.make_fast_step
+    with the identical config."""
+
+    def test_matches_fast_step_gated_removed(self, setup, rng):
+        import dataclasses
+        cfg, model, params, plan = setup
+        cfg = dataclasses.replace(cfg, serving=dataclasses.replace(
+            cfg.serving, snr_gate_db=4.0, snr_gate_width_db=3.0,
+            snr_gate_estimator="removed"))
+        B, hop = 4, cfg.dsp.hop_length
+        fast = make_fast_step(cfg, model)
+        fused = make_fused_hop(cfg, plan, interpret=True)
+        s0 = fast_init_state(cfg, model, B)
+        s1 = fused_hop_init_state(cfg, plan, B)
+        assert s1.em_out is not None and s1.nf_floor is None
+        t_all = TestFusedHopGate()
+        for t in range(12):
+            chunk = t_all._bursty(rng, B, hop, t)
+            s0, out0 = fast(params, s0, chunk)
+            s1, out1 = fused(s1, chunk)
+            np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                                       atol=3e-4)
+        np.testing.assert_allclose(np.asarray(s0.em_out),
+                                   np.asarray(s1.em_out[:, 0]), rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(s0.em_rem),
+                                   np.asarray(s1.em_rem[:, 0]), rtol=2e-4)
+
+    def test_resident_multi_hop_carries_removed_state(self, setup, rng):
+        import dataclasses
+        cfg, model, params, plan = setup
+        cfg = dataclasses.replace(cfg, serving=dataclasses.replace(
+            cfg.serving, snr_gate_db=4.0, snr_gate_width_db=3.0,
+            snr_gate_estimator="removed"))
+        B, K, hop = 4, 4, cfg.dsp.hop_length
+        multi = make_fused_hop(cfg, plan, interpret=True, hops_per_call=K)
+        single = make_fused_hop(cfg, plan, interpret=True)
+        t_all = TestFusedHopGate()
+        chunks = jnp.stack([t_all._bursty(rng, B, hop, t)
+                            for t in range(K)])
+        s_m = s_s = fused_hop_init_state(cfg, plan, B)
+        s_m, outs = multi(s_m, chunks)
+        for k in range(K):
+            s_s, out = single(s_s, chunks[k])
+            np.testing.assert_allclose(np.asarray(outs[k]), np.asarray(out),
+                                       atol=3e-4)
+        np.testing.assert_allclose(np.asarray(s_m.em_out),
+                                   np.asarray(s_s.em_out), rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(s_m.em_rem),
+                                   np.asarray(s_s.em_rem), rtol=2e-4)
+
+    def test_engine_fused_removed_masked_commit(self, setup, rng):
+        """The em_* EMA planes obey the masked per-stream commit."""
+        import dataclasses
+        import warnings
+        cfg, model, params, plan = setup
+        cfg = dataclasses.replace(cfg, serving=dataclasses.replace(
+            cfg.serving, snr_gate_db=4.0, snr_gate_width_db=3.0,
+            snr_gate_estimator="removed"))
+        import audio_denoising_tpu.ops.pallas.fused_hop as fh
+        orig = fh.make_fused_hop
+        try:
+            fh.make_fused_hop = lambda c, p, **kw: orig(c, p, interpret=True)
+            from audio_denoising_tpu.runtime.engine import StreamEngine
+            with warnings.catch_warnings(record=True) as w:
+                warnings.simplefilter("always")
+                eng = StreamEngine(cfg, model, params, mode="fused",
+                                   max_streams=2, jit=False)
+            assert eng.mode == "fused"
+            assert not any("snr_gate" in str(x.message) for x in w)
+            hop = cfg.dsp.hop_length
+            eng.add_stream("a")
+            eng.add_stream("b")
+            eng.process({"a": (0.1 * rng.standard_normal(hop)
+                               ).astype(np.float32),
+                         "b": (0.1 * rng.standard_normal(hop)
+                               ).astype(np.float32)})
+            em_b = np.asarray(eng.state.em_out[eng.slots["b"]]).copy()
+            eng.process({"a": (0.1 * rng.standard_normal(hop)
+                               ).astype(np.float32)})
+            np.testing.assert_array_equal(
+                np.asarray(eng.state.em_out[eng.slots["b"]]), em_b)
+            assert not np.array_equal(
+                np.asarray(eng.state.em_out[eng.slots["a"]]), em_b)
         finally:
             fh.make_fused_hop = orig
 

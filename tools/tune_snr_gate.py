@@ -6,7 +6,11 @@ Keeps the frozen manifest honest: the gate is tuned here, and only the
 final chosen setting is evaluated on runs/eval_manifest_v2.json (by
 tools/ or the eval CLI with a gated model spec).
 
-    ADT_FORCE_CPU=1 python tools/tune_snr_gate.py [model]
+    ADT_FORCE_CPU=1 python tools/tune_snr_gate.py [model] [estimator]
+
+estimator: 'floor' (round-4-session-1 tracker; gate grid 4..12 dB) or
+'removed' (model-informed, default; its compressed dB scale needs the
+lower 2..6 dB grid — see ServingConfig.snr_gate_estimator).
 """
 
 import dataclasses
@@ -49,6 +53,11 @@ def main():
 
     spec = sys.argv[1] if len(sys.argv) > 1 else \
         "runs/gruunet2mel128w64-mrstft-50k.npz"
+    estimator = sys.argv[2] if len(sys.argv) > 2 else "removed"
+    # the 'removed' estimator's dB scale is compressed vs true input SNR
+    # (ops/noisefloor.py) — tuned gates sit lower than the floor tracker's
+    gates = (2.0, 3.0, 4.0, 5.0, 6.0) if estimator == "removed" \
+        else (4.0, 6.0, 8.0, 10.0, 12.0)
     mixture, clean, gains, src_sr, _ = build_manifest_set(tuning_manifest())
     cfg0, model, params = load_pretrained(spec)
     sr = cfg0.dsp.sample_rate
@@ -62,7 +71,7 @@ def main():
 
     def run(gate_db, width_db):
         from audio_denoising_tpu.config import with_snr_gate
-        cfg = with_snr_gate(cfg0, gate_db, width_db)
+        cfg = with_snr_gate(cfg0, gate_db, width_db, estimator)
         outs = [denoise_array(cfg, model, params, mixture[i], sr)[:crop]
                 for i in range(len(mixture))]
         est = jnp.asarray(np.stack(outs))
@@ -75,15 +84,17 @@ def main():
 
     base_mean, base_by = run(None, None)
     print(f"no gate: mean {base_mean}  by-bracket {base_by}", flush=True)
-    results = {"model": spec, "no_gate": {"mean": base_mean, "by": base_by}}
-    for gate in (4.0, 6.0, 8.0, 10.0, 12.0):
+    results = {"model": spec, "estimator": estimator,
+               "no_gate": {"mean": base_mean, "by": base_by}}
+    for gate in gates:
         for width in (2.0, 4.0):
             mean, by = run(gate, width)
             key = f"gate{gate:g}_w{width:g}"
             results[key] = {"mean": mean, "by": by}
             print(f"{key}: mean {mean}  by-bracket {by}", flush=True)
+    suffix = "" if estimator == "floor" else f"_{estimator}"
     out = os.path.join(os.path.dirname(__file__), "..", "runs",
-                       "snr_gate_tuning.json")
+                       f"snr_gate_tuning{suffix}.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out}")

@@ -202,9 +202,9 @@ def main(argv=None) -> int:
                    help="SNR-gated passthrough blend: output leans toward "
                         "the raw input above this estimated input SNR (dB) "
                         "— protects near-clean streams (ops/noisefloor.py; "
-                        "tuned default 10)")
+                        "tuned default 1 with the 'removed' estimator)")
     p.add_argument("--snr-gate-width", type=float, default=None,
-                   help="gate transition width in dB (tuned default 3)")
+                   help="gate transition width in dB (tuned default 6)")
     p.add_argument("--snr-gate-estimator", default=None,
                    choices=("removed", "floor"),
                    help="gate SNR estimator (default 'removed': "

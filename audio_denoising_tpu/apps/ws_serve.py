@@ -246,10 +246,11 @@ def main(argv=None) -> int:
                    default="fast")
     p.add_argument("--pipeline-depth", type=int, default=2)
     p.add_argument("--snr-gate", type=float, default=None,
-                   help="SNR-gated passthrough blend (dB; tuned default "
-                        "10) — protects near-clean streams")
+                   help="SNR-gated passthrough blend (dB; tuned default 1 "
+                        "with the 'removed' estimator) — protects "
+                        "near-clean streams")
     p.add_argument("--snr-gate-width", type=float, default=None,
-                   help="gate transition width in dB (tuned default 3)")
+                   help="gate transition width in dB (tuned default 6)")
     p.add_argument("--snr-gate-estimator", default=None,
                    choices=("removed", "floor"),
                    help="gate SNR estimator (default 'removed': "

@@ -153,8 +153,12 @@ class ServingConfig:
     # Counters the causal family's clean-input damage without retraining
     # (every causal checkpoint measured negative ΔSI-SDR at +10 dB input
     # on manifest v2). None = off (bit-identical to round-3 behavior).
+    # Tuned operating point for the default 'removed' estimator
+    # (held-out sweep runs/snr_gate_tuning_removed_low.json): gate 1 dB,
+    # width 6 dB — enable with snr_gate_db=1.0 and the width default.
+    # The 'floor' estimator's tuned point is gate 10 / width 4.
     snr_gate_db: Optional[float] = None
-    snr_gate_width_db: float = 3.0
+    snr_gate_width_db: float = 6.0
     # 'removed' (default): model-informed — SNR from the EMA ratio of
     # output power to the power the model removed; separates clean from
     # noisy streams far better than minimum statistics on nonstationary

@@ -58,6 +58,14 @@ def main():
     # (ops/noisefloor.py) — tuned gates sit lower than the floor tracker's
     gates = (2.0, 3.0, 4.0, 5.0, 6.0) if estimator == "removed" \
         else (4.0, 6.0, 8.0, 10.0, 12.0)
+    widths = (2.0, 4.0)
+    # focused re-sweeps: ADT_TUNE_GATES="0,1,2" ADT_TUNE_WIDTHS="4,6,8"
+    if os.environ.get("ADT_TUNE_GATES"):
+        gates = tuple(float(g) for g in
+                      os.environ["ADT_TUNE_GATES"].split(","))
+    if os.environ.get("ADT_TUNE_WIDTHS"):
+        widths = tuple(float(w) for w in
+                       os.environ["ADT_TUNE_WIDTHS"].split(","))
     mixture, clean, gains, src_sr, _ = build_manifest_set(tuning_manifest())
     cfg0, model, params = load_pretrained(spec)
     sr = cfg0.dsp.sample_rate
@@ -87,14 +95,15 @@ def main():
     results = {"model": spec, "estimator": estimator,
                "no_gate": {"mean": base_mean, "by": base_by}}
     for gate in gates:
-        for width in (2.0, 4.0):
+        for width in widths:
             mean, by = run(gate, width)
             key = f"gate{gate:g}_w{width:g}"
             results[key] = {"mean": mean, "by": by}
             print(f"{key}: mean {mean}  by-bracket {by}", flush=True)
     suffix = "" if estimator == "floor" else f"_{estimator}"
-    out = os.path.join(os.path.dirname(__file__), "..", "runs",
-                       f"snr_gate_tuning{suffix}.json")
+    out = os.environ.get("ADT_TUNE_OUT") or os.path.join(
+        os.path.dirname(__file__), "..", "runs",
+        f"snr_gate_tuning{suffix}.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out}")

@@ -50,9 +50,11 @@ def load_pretrained(spec: str, cfg: Optional[Config] = None):
         return _load_npz(spec, cfg)
     if spec.endswith(".pth"):
         return _load_pth(spec, cfg)
+    if spec.endswith(".onnx"):
+        return _load_onnx(spec, cfg)
     raise ValueError(
         f"unknown model spec {spec!r}: expected a preset name "
-        f"({', '.join(sorted(PRESETS))}), a .npz path, or a .pth path")
+        f"({', '.join(sorted(PRESETS))}), a .npz, .pth or .onnx path")
 
 
 def _assumed_cfg(arch: str, mc: ModelConfig, path: str) -> Config:
@@ -93,6 +95,41 @@ def _load_npz(path: str, cfg: Optional[Config]):
             raise ValueError(f"{path} has no embedded config; pass cfg=")
     model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
     return cfg, model, _as_jnp(params)
+
+
+def _load_onnx(path: str, cfg: Optional[Config]):
+    """A reference-exported MOMO2 cell graph (momo2_01/02.onnx,
+    my_model.onnx) becomes a servable model: every CLI surface
+    (denoise/serve/engine/eval) accepts the artifact directly, so a
+    reference user's .onnx files work without conversion. Initializer
+    names are the torch state-dict keys (onnx.py:547), so the weights
+    drop straight into our params. ONNX carries NO DSP config; we assume
+    the MOMO family's clamped RAW-spectrogram front-end at the graph's
+    bin count (n_fft = 2*(bins-1), 50% hop — the momo3-4d4ea0 preset's
+    reasoning, config.py) and say so loudly; pass cfg= to override."""
+    import sys
+
+    import dataclasses
+    from audio_denoising_tpu.compat.onnx import (
+        momo_config_from_onnx, onnx_params, parse_onnx)
+    g = parse_onnx(path)
+    mc, num_bins = momo_config_from_onnx(g)
+    if cfg is None:
+        n_fft = 2 * (num_bins - 1)
+        dsp = dataclass_replace_dsp(n_fft=n_fft, hop_length=n_fft // 2,
+                                    n_mels=num_bins, domain="raw",
+                                    reconstruction="phase")
+        from audio_denoising_tpu.config import ServingConfig
+        cfg = Config(dsp=dsp, model=mc,
+                     serving=ServingConfig(chunk_samples=n_fft // 2))
+        print(f"[hub] {path}: ONNX carries no DSP config; assuming the "
+              f"MOMO raw front-end (n_fft={n_fft}, hop={n_fft // 2}, "
+              f"{num_bins} bins) — pass cfg= to override",
+              file=sys.stderr)
+    else:
+        cfg = dataclasses.replace(cfg, model=mc)
+    model = build_model(mc, num_bins=num_bins)
+    return cfg, model, _as_jnp(onnx_params(g))
 
 
 def _load_pth(path: str, cfg: Optional[Config]):

@@ -316,3 +316,33 @@ class TestUNet2dExport:
         out = run_graph(g, {"input": x})
         y = model.apply(params, jnp.asarray(x))
         np.testing.assert_array_equal(out["output"], np.asarray(y))
+
+
+class TestOnnxAsModelSpec:
+    """`load_pretrained('x.onnx')` serves reference ONNX artifacts
+    directly (hub._load_onnx): a reference user's exported cells work in
+    every CLI surface without conversion."""
+
+    @pytest.mark.parametrize("path", EXPORTS)
+    def test_load_and_cell_matches_graph(self, path, rng):
+        from audio_denoising_tpu.hub import load_pretrained
+        cfg, model, params = load_pretrained(path)
+        g = parse_onnx(path)
+        _mc, num_bins = momo_config_from_onnx(g)
+        assert cfg.dsp.n_mels == num_bins and cfg.dsp.domain == "raw"
+        x = rng.standard_normal((1, num_bins)).astype(np.float32)
+        out = run_graph(g, {"input": x})
+        hx0 = jnp.zeros((1, cfg.model.hidden_sizes[-1],
+                         cfg.model.num_compressed_bins))
+        y, _hx = model.cell(params, jnp.asarray(x), hx0)
+        np.testing.assert_allclose(np.asarray(y), out[g.outputs[0]],
+                                   atol=1e-5)
+
+    def test_offline_chain_runs(self):
+        from audio_denoising_tpu.apps.offline import denoise_array
+        from audio_denoising_tpu.hub import load_pretrained
+        cfg, model, params = load_pretrained(EXPORTS[0])
+        x = (0.1 * np.random.default_rng(0).standard_normal(
+            cfg.dsp.sample_rate // 4)).astype(np.float32)
+        y = denoise_array(cfg, model, params, x, cfg.dsp.sample_rate)
+        assert y.shape[0] > 0 and np.isfinite(y).all()

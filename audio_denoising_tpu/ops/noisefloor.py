@@ -142,9 +142,16 @@ def snr_db_from_floor(total: jnp.ndarray, floor_mean: jnp.ndarray,
 
 def gate_alpha(snr_db: jnp.ndarray, gate_db: float,
                width_db: float) -> jnp.ndarray:
-    """Denoise weight in [0, 1]: 1 below the gate (noisy -> denoise),
-    0 far above it (clean -> passthrough)."""
-    return jax.nn.sigmoid((gate_db - snr_db) / max(width_db, 1e-3))
+    """Denoise weight in [0, 1]: 1 at/below gate - width (noisy ->
+    denoise), 0 at/above gate + width (clean -> passthrough), linear
+    between. A clipped RAMP, not a sigmoid: the sigmoid's tails leak —
+    at the tuned (gate 1, width 6) a correctly-read -5 dB stream still
+    got sigmoid((1+5)/6) = 27% passthrough of raw noise, which cost the
+    -5 dB bracket -1.6 dB SI-SDR paired on manifest v2. The ramp is
+    EXACTLY full-denoise below the foot, so a sound estimator stops
+    paying for its own transition band."""
+    w = max(width_db, 1e-3)
+    return jnp.clip((gate_db + w - snr_db) / (2.0 * w), 0.0, 1.0)
 
 
 # --------------------------------------------------------------------------

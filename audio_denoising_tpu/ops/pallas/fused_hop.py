@@ -306,8 +306,9 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             sig = jnp.maximum(total - nfm, 0.0)
             snr_db = (10.0 / np.log(10.0)) * (jnp.log(sig + _EPS)
                                               - jnp.log(nfm + _EPS))
-            z = (srv.snr_gate_db - snr_db) / g_width
-            alpha = 1.0 / (1.0 + jnp.exp(-z))                      # (B, 1)
+            alpha = jnp.clip(
+                (srv.snr_gate_db + g_width - snr_db) / (2.0 * g_width),
+                0.0, 1.0)                                          # (B, 1)
             lin = alpha * lin + (1.0 - alpha) * mag
             nf_out = [smooth, floor, total + jnp.zeros_like(nf_t)]
         elif g_removed:
@@ -329,8 +330,9 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
                               g_beta_t * r_prev + (1.0 - g_beta_t) * p_rem)
             snr_db = (10.0 / np.log(10.0)) * (jnp.log(o_new + _EPS)
                                               - jnp.log(r_new + _EPS))
-            z = (srv.snr_gate_db - snr_db) / g_width
-            alpha = 1.0 / (1.0 + jnp.exp(-z))                      # (B, 1)
+            alpha = jnp.clip(
+                (srv.snr_gate_db + g_width - snr_db) / (2.0 * g_width),
+                0.0, 1.0)                                          # (B, 1)
             lin = alpha * lin + (1.0 - alpha) * mag
             nf_out = [o_new + jnp.zeros_like(em_o),
                       r_new + jnp.zeros_like(em_r)]

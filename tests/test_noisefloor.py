@@ -399,3 +399,24 @@ class TestRemovedEstimator:
         clean = est((voice + 0.003 * noise).astype(np.float32))
         noisy = est((voice + 0.5 * noise).astype(np.float32))
         assert clean > noisy + 6.0, (clean, noisy)
+
+
+class TestGateAlphaRamp:
+    """The blend is a clipped RAMP, not a sigmoid: the sigmoid's tails
+    leaked ~27% raw-noise passthrough on correctly-read -5 dB streams at
+    the tuned operating point (-1.6 dB SI-SDR paired on manifest v2) —
+    a sound estimate below the foot must cost NOTHING."""
+
+    def test_exact_saturation(self):
+        from audio_denoising_tpu.ops.noisefloor import gate_alpha
+        snr = jnp.asarray([-20.0, -5.0, 1.0, 7.0, 30.0])
+        a = np.asarray(gate_alpha(snr, gate_db=1.0, width_db=6.0))
+        assert a[0] == 1.0 and a[1] == 1.0      # at/below gate - width
+        assert abs(a[2] - 0.5) < 1e-6           # center
+        assert a[3] == 0.0 and a[4] == 0.0      # at/above gate + width
+
+    def test_linear_between(self):
+        from audio_denoising_tpu.ops.noisefloor import gate_alpha
+        snr = jnp.linspace(-3.0, 5.0, 9)        # inside (gate +- width)
+        a = np.asarray(gate_alpha(snr, gate_db=1.0, width_db=4.0))
+        np.testing.assert_allclose(np.diff(a), np.diff(a)[0], atol=1e-6)

@@ -206,7 +206,7 @@ def main(argv=None) -> int:
     p.add_argument("--snr-gate-width", type=float, default=None,
                    help="gate transition width in dB (tuned default 6)")
     p.add_argument("--snr-gate-estimator", default=None,
-                   choices=("removed", "floor"),
+                   choices=("removed", "floor", "both"),
                    help="gate SNR estimator (default 'removed': "
                         "model-informed; ops/noisefloor.py)")
     p.add_argument("--dtype", choices=["float32", "bfloat16", "int8"],

@@ -363,7 +363,7 @@ def main(argv=None) -> int:
                         "gate (dB) — ServingConfig.snr_gate_db")
     p.add_argument("--snr-gate-width", type=float, default=None)
     p.add_argument("--snr-gate-estimator", default=None,
-                   choices=("removed", "floor"),
+                   choices=("removed", "floor", "both"),
                    help="SNR estimator for the gate (ops/noisefloor.py); "
                         "default 'removed' (model-informed)")
     args = p.parse_args(argv)

@@ -90,7 +90,7 @@ def main(argv=None) -> int:
                         "near-clean input (ServingConfig.snr_gate_db)")
     p.add_argument("--snr-gate-width", type=float, default=None)
     p.add_argument("--snr-gate-estimator", default=None,
-                   choices=("removed", "floor"),
+                   choices=("removed", "floor", "both"),
                    help="gate SNR estimator (ops/noisefloor.py)")
     args = p.parse_args(argv)
     cfg = None

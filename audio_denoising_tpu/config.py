@@ -166,7 +166,12 @@ class ServingConfig:
     # and measurements in ops/noisefloor.py). NOTE: its dB scale is
     # compressed vs true input SNR — tuned gates sit around +2..+6 dB,
     # not the floor tracker's +8..+10. 'floor': the round-4-session-1
-    # model-independent per-bin noise-floor tracker.
+    # model-independent per-bin noise-floor tracker. 'both': the floor
+    # tracker VETOES the removed estimator's false-cleans at fixed
+    # distribution-derived constants (noisefloor.FLOOR_VETO_*) while
+    # gate/width parameterize the removed decision — the two estimators
+    # fail on disjoint streams, so the veto blocks leaks without
+    # touching genuinely clean input.
     snr_gate_estimator: str = "removed"
 
 
@@ -262,9 +267,10 @@ def with_snr_gate(cfg: Config, gate_db: Optional[float],
     the estimate drifts across the gate."""
     if gate_db is None:
         return cfg
-    if estimator is not None and estimator not in ("removed", "floor"):
+    if estimator is not None and estimator not in ("removed", "floor",
+                                                   "both"):
         raise ValueError(
-            f"snr_gate_estimator must be 'removed' or 'floor', "
+            f"snr_gate_estimator must be 'removed', 'floor' or 'both', "
             f"got {estimator!r}")
     if cfg.serving.output_gain != 1.0:
         import warnings

@@ -140,6 +140,20 @@ def snr_db_from_floor(total: jnp.ndarray, floor_mean: jnp.ndarray,
     return 10.0 * jnp.log10((sig + _EPS) / (nf + _EPS))
 
 
+# 'both' estimator: the floor tracker VETOES the removed estimator's
+# false-cleans. The two fail on DISJOINT streams (measured on manifest
+# v2's mixtures, tools-level distribution probe, round 4): clean
+# streams' floor estimates sit >= 7.4 dB while 11 of the 16 noisy
+# streams the removed estimator over-reads have floor estimates < 1.8 —
+# so a full veto at <= FLOOR_VETO_GATE - FLOOR_VETO_WIDTH (2 dB) that
+# fades out by +7 dB blocks the leaks without touching a single clean
+# stream. Constants derive from estimator DISTRIBUTIONS (threshold
+# accuracy 0.91/1.00 clean/noisy vs 0.91/0.97 for removed alone), not
+# from metric tuning on the frozen manifest.
+FLOOR_VETO_GATE_DB = 4.5
+FLOOR_VETO_WIDTH_DB = 2.5
+
+
 def gate_alpha(snr_db: jnp.ndarray, gate_db: float,
                width_db: float) -> jnp.ndarray:
     """Denoise weight in [0, 1]: 1 at/below gate - width (noisy ->

@@ -100,8 +100,9 @@ def fused_hop_init_state(cfg: Config, plan, batch: int) -> FusedHopState:
     if plan.delta:
         prev = jnp.zeros((batch, _feat_width(cfg)), jnp.float32)
     gate = cfg.serving.snr_gate_db is not None
-    floor = gate and cfg.serving.snr_gate_estimator == "floor"
-    removed = gate and not floor
+    floor = gate and cfg.serving.snr_gate_estimator in ("floor", "both")
+    removed = gate and cfg.serving.snr_gate_estimator in ("removed",
+                                                          "both")
     F = cfg.dsp.n_stft
     return FusedHopState(
         ring=jnp.zeros((batch, n_fft), jnp.float32),
@@ -171,16 +172,23 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
     # with the rest. estimator 'removed' needs only two broadcast-scalar
     # planes; 'floor' two extra (B, F) planes.
     gate = srv.snr_gate_db is not None
-    g_removed = gate and srv.snr_gate_estimator == "removed"
-    g_floor = gate and not g_removed
+    g_est = srv.snr_gate_estimator
+    g_removed = gate and g_est in ("removed", "both")
+    g_floor = gate and g_est in ("floor", "both")
     if gate:
         from audio_denoising_tpu.ops.noisefloor import (
-            FLOOR_BIAS, _EPS, floor_rise_per_frame, smooth_beta_per_frame,
+            FLOOR_BIAS, FLOOR_VETO_GATE_DB, FLOOR_VETO_WIDTH_DB, _EPS,
+            floor_rise_per_frame, smooth_beta_per_frame,
             total_beta_per_frame)
         g_beta = smooth_beta_per_frame(hop, dsp.sample_rate)
         g_rise = floor_rise_per_frame(hop, dsp.sample_rate)
         g_beta_t = total_beta_per_frame(hop, dsp.sample_rate)
         g_width = max(srv.snr_gate_width_db, 1e-3)
+        # the floor part's (gate, width): its own when it IS the
+        # decision, the fixed veto constants under 'both'
+        gf_gate = (FLOOR_VETO_GATE_DB if g_est == "both"
+                   else srv.snr_gate_db)
+        gf_width = (FLOOR_VETO_WIDTH_DB if g_est == "both" else g_width)
 
     win = np.asarray(hann_window(n_fft))
     CF, SF, IC, IS = _dft_matrices(n_fft)
@@ -220,13 +228,14 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
     n_consts = len(consts)
 
     # per-stream state planes, fixed order: ring, ola, hx[, prev]
-    # [, nf_smooth, nf_floor, nf_total | em_out, em_rem]
+    # [, nf_smooth, nf_floor, nf_total][, em_out, em_rem]
+    # (estimator 'both' carries all five)
     n_state = 3 + (1 if delta else 0) + \
-        (3 if g_floor else 2 if g_removed else 0)
+        (3 if g_floor else 0) + (2 if g_removed else 0)
     state_widths = [n_fft, n_fft, plan.hidden * plan.compressed] + \
         ([feat] if delta else []) + \
-        ([F, F, _TOT_W] if g_floor else
-         [_TOT_W, _TOT_W] if g_removed else [])
+        ([F, F, _TOT_W] if g_floor else []) + \
+        ([_TOT_W, _TOT_W] if g_removed else [])
 
     def kernel(*refs):
         ins = refs[:n_state + 1]                    # states + chunk
@@ -251,7 +260,8 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             si += 1
         if g_floor:
             nf_s, nf_f, nf_t = states[si:si + 3]
-        elif g_removed:
+            si += 3
+        if g_removed:
             em_o, em_r = states[si:si + 2]
         if raw:
             cf, sf, ic, is_, win_r, env_r = cs
@@ -289,29 +299,8 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             # those bins resynthesize with inverted phase
             lin = jnp.maximum(dot(feat_mag, imelr), 0.0) * srv.output_gain
         nf_out = []
-        if g_floor:
-            # noisefloor.floor_step + snr_db_from_floor + gate_alpha in
-            # Mosaic-safe form (exp/log only — no log10/expit lowering);
-            # an all-zero carry (fresh slot) LATCHES rather than pinning
-            power = mag * mag
-            smooth = g_beta * nf_s + (1.0 - g_beta) * power
-            floor = jnp.where(nf_f <= 0.0, smooth,
-                              jnp.minimum(smooth, nf_f * g_rise))
-            p_mean = jnp.mean(power, axis=-1, keepdims=True)       # (B, 1)
-            tot_prev = nf_t[:, :1]
-            total = jnp.where(tot_prev <= 0.0, p_mean,
-                              g_beta_t * tot_prev
-                              + (1.0 - g_beta_t) * p_mean)
-            nfm = FLOOR_BIAS * jnp.mean(floor, axis=-1, keepdims=True)
-            sig = jnp.maximum(total - nfm, 0.0)
-            snr_db = (10.0 / np.log(10.0)) * (jnp.log(sig + _EPS)
-                                              - jnp.log(nfm + _EPS))
-            alpha = jnp.clip(
-                (srv.snr_gate_db + g_width - snr_db) / (2.0 * g_width),
-                0.0, 1.0)                                          # (B, 1)
-            lin = alpha * lin + (1.0 - alpha) * mag
-            nf_out = [smooth, floor, total + jnp.zeros_like(nf_t)]
-        elif g_removed:
+        alpha = None
+        if g_removed:
             # noisefloor.removed_step + removed_snr_db + gate_alpha in
             # Mosaic-safe form: the model's own suppression is the noise
             # estimate (measured rationale in ops/noisefloor.py). Zero
@@ -333,9 +322,36 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             alpha = jnp.clip(
                 (srv.snr_gate_db + g_width - snr_db) / (2.0 * g_width),
                 0.0, 1.0)                                          # (B, 1)
+            em_out_new = [o_new + jnp.zeros_like(em_o),
+                          r_new + jnp.zeros_like(em_r)]
+        if g_floor:
+            # noisefloor.floor_step + snr_db_from_floor + gate_alpha in
+            # Mosaic-safe form (exp/log only — no log10/expit lowering);
+            # an all-zero carry (fresh slot) LATCHES rather than pinning.
+            # Under 'both' this is the VETO (fixed gf_gate/gf_width).
+            power = mag * mag
+            smooth = g_beta * nf_s + (1.0 - g_beta) * power
+            floor = jnp.where(nf_f <= 0.0, smooth,
+                              jnp.minimum(smooth, nf_f * g_rise))
+            p_mean = jnp.mean(power, axis=-1, keepdims=True)       # (B, 1)
+            tot_prev = nf_t[:, :1]
+            total = jnp.where(tot_prev <= 0.0, p_mean,
+                              g_beta_t * tot_prev
+                              + (1.0 - g_beta_t) * p_mean)
+            nfm = FLOOR_BIAS * jnp.mean(floor, axis=-1, keepdims=True)
+            sig = jnp.maximum(total - nfm, 0.0)
+            snr_db = (10.0 / np.log(10.0)) * (jnp.log(sig + _EPS)
+                                              - jnp.log(nfm + _EPS))
+            alpha_f = jnp.clip(
+                (gf_gate + gf_width - snr_db) / (2.0 * gf_width),
+                0.0, 1.0)                                          # (B, 1)
+            alpha = alpha_f if alpha is None \
+                else jnp.maximum(alpha, alpha_f)
+            nf_out = [smooth, floor, total + jnp.zeros_like(nf_t)]
+        if gate:
             lin = alpha * lin + (1.0 - alpha) * mag
-            nf_out = [o_new + jnp.zeros_like(em_o),
-                      r_new + jnp.zeros_like(em_r)]
+        if g_removed:
+            nf_out = nf_out + em_out_new
         # phase reuse as complex scaling; at mag ~ 0 match the fast path's
         # polar(lin, angle(0)=0) = lin + 0j
         safe = mag > 1e-8
@@ -400,8 +416,8 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
         return [state.ring, state.ola, state.hx] + \
             ([state.prev] if delta else []) + \
             ([state.nf_smooth, state.nf_floor, state.nf_total]
-             if g_floor else
-             [state.em_out, state.em_rem] if g_removed else [])
+             if g_floor else []) + \
+            ([state.em_out, state.em_rem] if g_removed else [])
 
     def _rebuild_state(new_states) -> FusedHopState:
         si = 3
@@ -411,7 +427,8 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             si += 1
         if g_floor:
             nfs, nff, nft = new_states[si:si + 3]
-        elif g_removed:
+            si += 3
+        if g_removed:
             emo, emr = new_states[si:si + 2]
         return FusedHopState(*new_states[:3], prev=prev, nf_smooth=nfs,
                              nf_floor=nff, nf_total=nft,
@@ -531,8 +548,9 @@ def make_fused_hop_sharded(cfg: Config, plan, mesh, interpret: bool = False,
                           compute_dtype=compute_dtype)
     axis = mesh.axis_names[0]
     gate = cfg.serving.snr_gate_db is not None
-    floor = gate and cfg.serving.snr_gate_estimator == "floor"
-    removed = gate and not floor
+    floor = gate and cfg.serving.snr_gate_estimator in ("floor", "both")
+    removed = gate and cfg.serving.snr_gate_estimator in ("removed",
+                                                          "both")
     state_spec = FusedHopState(
         ring=P(axis), ola=P(axis), hx=P(axis),
         prev=P(axis) if plan.delta else None,

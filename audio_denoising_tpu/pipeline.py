@@ -74,22 +74,35 @@ def _apply_snr_gate(cfg: Config, mag: jnp.ndarray,
     if srv.snr_gate_db is None:
         return lin_mag
     from audio_denoising_tpu.ops.noisefloor import (
-        floor_rise_per_frame, gate_alpha, noise_floor_scan, removed_powers,
-        removed_snr_scan, smooth_beta_per_frame, snr_db_from_floor,
-        total_beta_per_frame)
+        FLOOR_VETO_GATE_DB, FLOOR_VETO_WIDTH_DB, floor_rise_per_frame,
+        gate_alpha, noise_floor_scan, removed_powers, removed_snr_scan,
+        smooth_beta_per_frame, snr_db_from_floor, total_beta_per_frame)
     power = mag * mag
     hop, sr = cfg.dsp.hop_length, cfg.dsp.sample_rate
-    if srv.snr_gate_estimator == "removed":
+    est = srv.snr_gate_estimator
+
+    def removed_alpha():
         p_out, p_rem = removed_powers(power, lin_mag * lin_mag, axis=-2)
         snr, _ = removed_snr_scan(p_out, p_rem,
                                   total_beta_per_frame(hop, sr))  # (B, T)
-    else:
+        return gate_alpha(snr, srv.snr_gate_db, srv.snr_gate_width_db)
+
+    def floor_alpha(gate_db, width_db):
         floors, totals, _ = noise_floor_scan(
             power, floor_rise_per_frame(hop, sr),
             smooth_beta_per_frame(hop, sr), total_beta_per_frame(hop, sr))
-        snr = snr_db_from_floor(totals, jnp.mean(floors, axis=-2))  # (B, T)
-    alpha = gate_alpha(snr, srv.snr_gate_db,
-                       srv.snr_gate_width_db)[:, None, :]
+        snr = snr_db_from_floor(totals, jnp.mean(floors, axis=-2))
+        return gate_alpha(snr, gate_db, width_db)
+
+    if est == "removed":
+        alpha = removed_alpha()
+    elif est == "floor":
+        alpha = floor_alpha(srv.snr_gate_db, srv.snr_gate_width_db)
+    else:  # 'both': floor veto over the removed decision
+        alpha = jnp.maximum(
+            removed_alpha(),
+            floor_alpha(FLOOR_VETO_GATE_DB, FLOOR_VETO_WIDTH_DB))
+    alpha = alpha[:, None, :]
     return alpha * lin_mag + (1.0 - alpha) * mag
 
 
@@ -235,13 +248,16 @@ def make_unet_stream_step(cfg: Config, model):
     """
     hop, seg_hops, seg, ctx = _unet_stream_geometry(cfg)
     gate = cfg.serving.snr_gate_db is not None
-    removed = gate and cfg.serving.snr_gate_estimator == "removed"
+    est = cfg.serving.snr_gate_estimator
+    removed = gate and est in ("removed", "both")
+    floor = gate and est in ("floor", "both")
     if gate:
         # the window denoise runs UNGATED; the gate applies here with an
         # estimator carried ACROSS windows (see UNetStreamState note)
         import dataclasses
         from audio_denoising_tpu.ops.noisefloor import (
-            FloorState, RemovedState, floor_rise_per_frame, gate_alpha,
+            FLOOR_VETO_GATE_DB, FLOOR_VETO_WIDTH_DB, FloorState,
+            RemovedState, floor_rise_per_frame, gate_alpha,
             noise_floor_scan, removed_snr_db, removed_step,
             smooth_beta_per_frame, snr_db_from_floor, total_beta_per_frame)
         cfg_inner = dataclasses.replace(
@@ -250,7 +266,7 @@ def make_unet_stream_step(cfg: Config, model):
             # one EMA update per emitted SEGMENT, so the per-"frame"
             # retention uses the segment length as the hop
             beta_seg = total_beta_per_frame(seg, cfg.dsp.sample_rate)
-        else:
+        if floor:
             win = hann_window(cfg.dsp.win)
             rise = floor_rise_per_frame(cfg.dsp.hop_length,
                                         cfg.dsp.sample_rate)
@@ -258,6 +274,10 @@ def make_unet_stream_step(cfg: Config, model):
                                          cfg.dsp.sample_rate)
             beta_t = total_beta_per_frame(cfg.dsp.hop_length,
                                           cfg.dsp.sample_rate)
+            f_gate = (FLOOR_VETO_GATE_DB if est == "both"
+                      else cfg.serving.snr_gate_db)
+            f_width = (FLOOR_VETO_WIDTH_DB if est == "both"
+                       else cfg.serving.snr_gate_width_db)
     else:
         cfg_inner = cfg
 
@@ -270,6 +290,8 @@ def make_unet_stream_step(cfg: Config, model):
         # contiguous and non-overlapping across cycles, so the estimator
         # sees each sample exactly once
         mid_in = jax.lax.dynamic_slice_in_dim(ring, ctx, seg, axis=1)
+        alpha = None
+        new_g = ()
         if removed:
             # model-informed estimator on time-domain segment powers
             # (Parseval: equals the bin-mean spectral powers the spectral
@@ -278,20 +300,24 @@ def make_unet_stream_step(cfg: Config, model):
             p_in = jnp.mean(mid_in * mid_in, axis=1)
             p_out = jnp.mean(mid * mid, axis=1)
             p_rem = jnp.maximum(p_in - p_out, 0.0)
-            rs = removed_step(RemovedState(*g), p_out, p_rem, beta_seg)
-            snr = removed_snr_db(rs)
+            rs = removed_step(RemovedState(*g[:2]), p_out, p_rem, beta_seg)
+            alpha = gate_alpha(removed_snr_db(rs),
+                               cfg.serving.snr_gate_db,
+                               cfg.serving.snr_gate_width_db)
             new_g = (rs.out, rs.rem)
-        else:
+        if floor:
             spec = stft(mid_in, cfg.dsp.n_fft, cfg.dsp.hop_length,
                         cfg.dsp.win, window=win)
             power = jnp.abs(spec) ** 2
             _f, _t, last = noise_floor_scan(power, rise, beta, beta_t,
-                                            init=FloorState(*g))
-            snr = snr_db_from_floor(last.total,
-                                    jnp.mean(last.floor, axis=-1))
-            new_g = (last.smooth, last.floor, last.total)
-        alpha = gate_alpha(snr, cfg.serving.snr_gate_db,
-                           cfg.serving.snr_gate_width_db)[:, None]
+                                            init=FloorState(*g[len(new_g):]))
+            snr_f = snr_db_from_floor(last.total,
+                                      jnp.mean(last.floor, axis=-1))
+            alpha_f = gate_alpha(snr_f, f_gate, f_width)
+            alpha = alpha_f if alpha is None \
+                else jnp.maximum(alpha, alpha_f)
+            new_g = new_g + (last.smooth, last.floor, last.total)
+        alpha = alpha[:, None]
         return alpha * mid + (1.0 - alpha) * mid_in, new_g
 
     def step(params, state: UNetStreamState, chunk: jnp.ndarray,
@@ -300,18 +326,19 @@ def make_unet_stream_step(cfg: Config, model):
         # emit from the PREVIOUS cycle's buffer before (possibly) refilling
         out_hop = jax.lax.dynamic_slice_in_dim(state.out, phase * hop, hop,
                                                axis=1)
-        g = ((state.em_out, state.em_rem) if removed
-             else (state.nf_smooth, state.nf_floor, state.nf_total))
+        g = (((state.em_out, state.em_rem) if removed else ())
+             + ((state.nf_smooth, state.nf_floor, state.nf_total)
+                if floor else ()))
         new_out, g = jax.lax.cond(
             phase == seg_hops - 1,
             lambda r: denoise_window(params, r, g),
             lambda r: (state.out, g),
             ring)
-        if removed:
-            return UNetStreamState(ring=ring, out=new_out,
-                                   em_out=g[0], em_rem=g[1]), out_hop
-        return UNetStreamState(ring=ring, out=new_out, nf_smooth=g[0],
-                               nf_floor=g[1], nf_total=g[2]), out_hop
+        em = g[:2] if removed else (None, None)
+        nf = g[2 if removed else 0:] if floor else (None, None, None)
+        return UNetStreamState(ring=ring, out=new_out, nf_smooth=nf[0],
+                               nf_floor=nf[1], nf_total=nf[2],
+                               em_out=em[0], em_rem=em[1]), out_hop
 
     return step
 

@@ -62,8 +62,9 @@ def fast_init_state(cfg: Config, model, batch: int,
                     dtype=jnp.float32) -> FastState:
     n_fft = cfg.dsp.n_fft
     gate = cfg.serving.snr_gate_db is not None
-    floor = gate and cfg.serving.snr_gate_estimator == "floor"
-    removed = gate and not floor
+    est = cfg.serving.snr_gate_estimator
+    floor = gate and est in ("floor", "both")
+    removed = gate and est in ("removed", "both")
     # distinct arrays: donation-based slot updates reject one buffer
     # appearing twice in the argument pytree
     return FastState(
@@ -144,28 +145,37 @@ def make_fast_step(cfg: Config, model):
             # per-stream SNR gate (ops/noisefloor.py rationale): blend
             # the output magnitude toward passthrough on near-clean input
             from audio_denoising_tpu.ops.noisefloor import (
-                FloorState, RemovedState, floor_rise_per_frame, floor_step,
+                FLOOR_VETO_GATE_DB, FLOOR_VETO_WIDTH_DB, FloorState,
+                RemovedState, floor_rise_per_frame, floor_step,
                 gate_alpha, removed_powers, removed_snr_db, removed_step,
                 smooth_beta_per_frame, snr_db_from_floor,
                 total_beta_per_frame)
             power = mag * mag                                # (B, F)
-            if srv.snr_gate_estimator == "removed":
+            est = srv.snr_gate_estimator
+            alpha = None
+            if est in ("removed", "both"):
                 p_out, p_rem = removed_powers(power, lin * lin)
                 rs = removed_step(RemovedState(em_o, em_r), p_out, p_rem,
                                   total_beta_per_frame(hop, dsp.sample_rate))
                 em_o, em_r = rs.out, rs.rem
-                snr = removed_snr_db(rs)                     # (B,)
-            else:
+                alpha = gate_alpha(removed_snr_db(rs), srv.snr_gate_db,
+                                   srv.snr_gate_width_db)       # (B,)
+            if est in ("floor", "both"):
                 fs = floor_step(FloorState(nf_s, nf_f, nf_t), power,
                                 smooth_beta_per_frame(hop, dsp.sample_rate),
                                 floor_rise_per_frame(hop, dsp.sample_rate),
                                 total_beta_per_frame(hop, dsp.sample_rate))
                 nf_s, nf_f, nf_t = fs.smooth, fs.floor, fs.total
-                snr = snr_db_from_floor(fs.total,
-                                        jnp.mean(nf_f, axis=-1))  # (B,)
-            alpha = gate_alpha(snr, srv.snr_gate_db,
-                               srv.snr_gate_width_db)[:, None]
-            lin = alpha * lin + (1.0 - alpha) * mag
+                snr_f = snr_db_from_floor(fs.total,
+                                          jnp.mean(nf_f, axis=-1))  # (B,)
+                if est == "floor":
+                    alpha = gate_alpha(snr_f, srv.snr_gate_db,
+                                       srv.snr_gate_width_db)
+                else:   # floor veto over the removed decision
+                    alpha = jnp.maximum(
+                        alpha, gate_alpha(snr_f, FLOOR_VETO_GATE_DB,
+                                          FLOOR_VETO_WIDTH_DB))
+            lin = alpha[:, None] * lin + (1.0 - alpha[:, None]) * mag
         rec = lin * jnp.exp(1j * phase)
         synth = jnp.fft.irfft(rec, n=n_fft, axis=-1) * win   # (B, n_fft)
         acc = state.ola + synth

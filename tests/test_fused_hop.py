@@ -590,3 +590,77 @@ class TestFusedHopInt8:
             den = float(jnp.sum(o0 ** 2))
             worst = min(worst, 10 * np.log10(den / max(num, 1e-20)))
         assert worst > 15.0, worst
+
+
+class TestFusedHopGateBoth:
+    """Estimator 'both': the floor tracker vetoes the removed
+    estimator's false-cleans (fixed FLOOR_VETO_* constants) while the
+    config (gate, width) parameterize the removed decision. The fused
+    kernel carries all five gate planes."""
+
+    def _cfg(self, setup):
+        import dataclasses
+        cfg, model, params, plan = setup
+        cfg = dataclasses.replace(cfg, serving=dataclasses.replace(
+            cfg.serving, snr_gate_db=2.5, snr_gate_width_db=2.0,
+            snr_gate_estimator="both"))
+        return cfg, model, params, plan
+
+    def test_matches_fast_step_gated_both(self, setup, rng):
+        cfg, model, params, plan = self._cfg(setup)
+        B, hop = 4, cfg.dsp.hop_length
+        fast = make_fast_step(cfg, model)
+        fused = make_fused_hop(cfg, plan, interpret=True)
+        s0 = fast_init_state(cfg, model, B)
+        s1 = fused_hop_init_state(cfg, plan, B)
+        assert s1.em_out is not None and s1.nf_floor is not None
+        t_all = TestFusedHopGate()
+        for t in range(12):
+            chunk = t_all._bursty(rng, B, hop, t)
+            s0, out0 = fast(params, s0, chunk)
+            s1, out1 = fused(s1, chunk)
+            np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                                       atol=3e-4)
+        np.testing.assert_allclose(np.asarray(s0.nf_floor),
+                                   np.asarray(s1.nf_floor),
+                                   rtol=2e-4, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(s0.em_out),
+                                   np.asarray(s1.em_out[:, 0]), rtol=2e-4)
+
+    def test_resident_multi_hop_carries_all_planes(self, setup, rng):
+        cfg, model, params, plan = self._cfg(setup)
+        B, K, hop = 4, 4, cfg.dsp.hop_length
+        multi = make_fused_hop(cfg, plan, interpret=True, hops_per_call=K)
+        single = make_fused_hop(cfg, plan, interpret=True)
+        t_all = TestFusedHopGate()
+        chunks = jnp.stack([t_all._bursty(rng, B, hop, t)
+                            for t in range(K)])
+        s_m = s_s = fused_hop_init_state(cfg, plan, B)
+        s_m, outs = multi(s_m, chunks)
+        for k in range(K):
+            s_s, out = single(s_s, chunks[k])
+            np.testing.assert_allclose(np.asarray(outs[k]), np.asarray(out),
+                                       atol=3e-4)
+        for leaf in ("nf_smooth", "nf_floor", "nf_total", "em_out",
+                     "em_rem"):
+            np.testing.assert_allclose(np.asarray(getattr(s_m, leaf)),
+                                       np.asarray(getattr(s_s, leaf)),
+                                       rtol=2e-4, atol=1e-9)
+
+    def test_veto_blocks_false_clean(self, setup, rng):
+        """A stream whose removed estimate reads clean but whose floor
+        estimate reads noisy must stay denoised (alpha pinned high by
+        the veto): force it by zeroing the model's suppression (identity
+        plan output -> p_rem ~ 0 -> removed says +inf-clean) on a pure
+        noise input the floor tracker reads correctly."""
+        import dataclasses
+        from audio_denoising_tpu.ops.noisefloor import (
+            FLOOR_VETO_GATE_DB, FLOOR_VETO_WIDTH_DB, gate_alpha)
+        # removed alone would fully pass through: snr_est = +big
+        a_removed = gate_alpha(jnp.asarray([60.0]), 2.5, 2.0)
+        assert float(a_removed[0]) == 0.0
+        # the veto at a floor estimate of -2 dB (noisy) pins alpha to 1
+        a_veto = gate_alpha(jnp.asarray([-2.0]), FLOOR_VETO_GATE_DB,
+                            FLOOR_VETO_WIDTH_DB)
+        assert float(a_veto[0]) == 1.0
+        assert float(jnp.maximum(a_removed, a_veto)[0]) == 1.0

@@ -153,26 +153,32 @@ class ServingConfig:
     # Counters the causal family's clean-input damage without retraining
     # (every causal checkpoint measured negative ΔSI-SDR at +10 dB input
     # on manifest v2). None = off (bit-identical to round-3 behavior).
-    # Tuned operating point for the default 'removed' estimator
-    # (held-out sweep runs/snr_gate_tuning_removed_low.json): gate 1 dB,
-    # width 6 dB — enable with snr_gate_db=1.0 and the width default.
-    # The 'floor' estimator's tuned point is gate 10 / width 4.
+    # Tuned operating point for the default 'both' estimator (frame-
+    # exact grid search, tools/gate_grid.py on held-out seeds 400+):
+    # gate 1 dB with the width/tau defaults — i.e. `--snr-gate 1` alone
+    # is the tuned configuration. The single-estimator points: 'removed'
+    # gate 1 / width 6, 'floor' gate 10 / width 4.
     snr_gate_db: Optional[float] = None
     snr_gate_width_db: float = 6.0
-    # 'removed' (default): model-informed — SNR from the EMA ratio of
-    # output power to the power the model removed; separates clean from
-    # noisy streams far better than minimum statistics on nonstationary
-    # noise (0.92 vs 0.81 threshold accuracy on manifest v2; rationale
-    # and measurements in ops/noisefloor.py). NOTE: its dB scale is
-    # compressed vs true input SNR — tuned gates sit around +2..+6 dB,
-    # not the floor tracker's +8..+10. 'floor': the round-4-session-1
-    # model-independent per-bin noise-floor tracker. 'both': the floor
-    # tracker VETOES the removed estimator's false-cleans at fixed
-    # distribution-derived constants (noisefloor.FLOOR_VETO_*) while
-    # gate/width parameterize the removed decision — the two estimators
-    # fail on disjoint streams, so the veto blocks leaks without
-    # touching genuinely clean input.
-    snr_gate_estimator: str = "removed"
+    # 'both' (default): the model-informed 'removed' estimator (SNR from
+    # the EMA ratio of output power to the power the model removed; its
+    # dB scale is compressed — tuned gates sit around 0..+3 dB) decides,
+    # and the minimum-statistics 'floor' tracker VETOES its false-cleans
+    # at fixed distribution-derived constants (noisefloor.FLOOR_VETO_*)
+    # — the two estimators fail on DISJOINT streams (measured, round 4:
+    # threshold accuracy 0.91/1.00 clean/noisy for the pair vs 0.91/0.97
+    # removed-alone and 1.00/0.59 floor-alone on manifest v2). 'removed'
+    # and 'floor' run a single estimator. Frame-exact grid search
+    # (tools/gate_grid.py, held-out seeds 400+): gate 1 / width 6 /
+    # tau 0.1 improves EVERY input-SNR bracket vs ungated.
+    snr_gate_estimator: str = "both"
+    # Time constant (seconds) of the stream-level power EMAs behind the
+    # gate's SNR estimate. The tuning sweep is unambiguous: shorter
+    # converges inside real utterances and rescues near-clean audio
+    # sooner (tau 2.0 -> 0.1 moves the +10 dB bracket from -0.5 to +0.4
+    # on the held-out set) while ~10-frame smoothing still rejects
+    # per-frame burst noise.
+    snr_gate_tau_s: float = 0.1
 
 
 @dataclass(frozen=True)

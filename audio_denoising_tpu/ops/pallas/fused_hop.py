@@ -182,7 +182,8 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
             total_beta_per_frame)
         g_beta = smooth_beta_per_frame(hop, dsp.sample_rate)
         g_rise = floor_rise_per_frame(hop, dsp.sample_rate)
-        g_beta_t = total_beta_per_frame(hop, dsp.sample_rate)
+        g_beta_t = total_beta_per_frame(hop, dsp.sample_rate,
+                                         srv.snr_gate_tau_s)
         g_width = max(srv.snr_gate_width_db, 1e-3)
         # the floor part's (gate, width): its own when it IS the
         # decision, the fixed veto constants under 'both'

@@ -79,18 +79,20 @@ def _apply_snr_gate(cfg: Config, mag: jnp.ndarray,
         smooth_beta_per_frame, snr_db_from_floor, total_beta_per_frame)
     power = mag * mag
     hop, sr = cfg.dsp.hop_length, cfg.dsp.sample_rate
+    tau = srv.snr_gate_tau_s
     est = srv.snr_gate_estimator
 
     def removed_alpha():
         p_out, p_rem = removed_powers(power, lin_mag * lin_mag, axis=-2)
-        snr, _ = removed_snr_scan(p_out, p_rem,
-                                  total_beta_per_frame(hop, sr))  # (B, T)
+        snr, _ = removed_snr_scan(
+            p_out, p_rem, total_beta_per_frame(hop, sr, tau))  # (B, T)
         return gate_alpha(snr, srv.snr_gate_db, srv.snr_gate_width_db)
 
     def floor_alpha(gate_db, width_db):
         floors, totals, _ = noise_floor_scan(
             power, floor_rise_per_frame(hop, sr),
-            smooth_beta_per_frame(hop, sr), total_beta_per_frame(hop, sr))
+            smooth_beta_per_frame(hop, sr),
+            total_beta_per_frame(hop, sr, tau))
         snr = snr_db_from_floor(totals, jnp.mean(floors, axis=-2))
         return gate_alpha(snr, gate_db, width_db)
 
@@ -265,7 +267,8 @@ def make_unet_stream_step(cfg: Config, model):
         if removed:
             # one EMA update per emitted SEGMENT, so the per-"frame"
             # retention uses the segment length as the hop
-            beta_seg = total_beta_per_frame(seg, cfg.dsp.sample_rate)
+            beta_seg = total_beta_per_frame(
+                seg, cfg.dsp.sample_rate, cfg.serving.snr_gate_tau_s)
         if floor:
             win = hann_window(cfg.dsp.win)
             rise = floor_rise_per_frame(cfg.dsp.hop_length,
@@ -273,7 +276,8 @@ def make_unet_stream_step(cfg: Config, model):
             beta = smooth_beta_per_frame(cfg.dsp.hop_length,
                                          cfg.dsp.sample_rate)
             beta_t = total_beta_per_frame(cfg.dsp.hop_length,
-                                          cfg.dsp.sample_rate)
+                                          cfg.dsp.sample_rate,
+                                          cfg.serving.snr_gate_tau_s)
             f_gate = (FLOOR_VETO_GATE_DB if est == "both"
                       else cfg.serving.snr_gate_db)
             f_width = (FLOOR_VETO_WIDTH_DB if est == "both"
@@ -391,8 +395,9 @@ def webrtc_init_state(cfg: Config, model, batch: int,
         a[..., 0] = 1.0
         angles = jnp.asarray(a)
     gate = cfg.serving.snr_gate_db is not None
-    floor = gate and cfg.serving.snr_gate_estimator == "floor"
-    removed = gate and not floor
+    floor = gate and cfg.serving.snr_gate_estimator in ("floor", "both")
+    removed = gate and cfg.serving.snr_gate_estimator in ("removed",
+                                                          "both")
     return WebRTCState(
         ring=jnp.zeros((batch, n_fft), dtype),
         ola=jnp.zeros((batch, n_fft), dtype),
@@ -462,26 +467,42 @@ def make_webrtc_step(cfg: Config, model):
                 smooth_beta_per_frame, snr_db_from_floor,
                 total_beta_per_frame)
             power = (mag[..., -1] * peak) ** 2            # (B, F)
-            if cfg.serving.snr_gate_estimator == "removed":
+            est = cfg.serving.snr_gate_estimator
+            alpha = None
+            if est in ("removed", "both"):
                 # model-informed: normalization cancels in the ratio, but
                 # keep both sides at the same (un-normalized) scale so the
                 # EMAs average consistently across hops
                 p_out_bin = (lin_mag[..., -1] * peak) ** 2
                 p_out, p_rem = removed_powers(power, p_out_bin)
                 rs = removed_step(RemovedState(em_o, em_r), p_out, p_rem,
-                                  total_beta_per_frame(hop, dsp.sample_rate))
+                                  total_beta_per_frame(
+                                      hop, dsp.sample_rate,
+                                      cfg.serving.snr_gate_tau_s))
                 em_o, em_r = rs.out, rs.rem
-                snr = removed_snr_db(rs)
-            else:
+                alpha = gate_alpha(removed_snr_db(rs),
+                                   cfg.serving.snr_gate_db,
+                                   cfg.serving.snr_gate_width_db)
+            if est in ("floor", "both"):
+                from audio_denoising_tpu.ops.noisefloor import (
+                    FLOOR_VETO_GATE_DB, FLOOR_VETO_WIDTH_DB)
                 fs = floor_step(
                     FloorState(nf_s, nf_f, nf_t), power,
                     smooth_beta_per_frame(hop, dsp.sample_rate),
                     floor_rise_per_frame(hop, dsp.sample_rate),
-                    total_beta_per_frame(hop, dsp.sample_rate))
+                    total_beta_per_frame(hop, dsp.sample_rate,
+                                         cfg.serving.snr_gate_tau_s))
                 nf_s, nf_f, nf_t = fs.smooth, fs.floor, fs.total
-                snr = snr_db_from_floor(fs.total, jnp.mean(nf_f, axis=-1))
-            alpha = gate_alpha(snr, cfg.serving.snr_gate_db,
-                               cfg.serving.snr_gate_width_db)[:, None, None]
+                snr_f = snr_db_from_floor(fs.total,
+                                          jnp.mean(nf_f, axis=-1))
+                if est == "floor":
+                    alpha = gate_alpha(snr_f, cfg.serving.snr_gate_db,
+                                       cfg.serving.snr_gate_width_db)
+                else:
+                    alpha = jnp.maximum(
+                        alpha, gate_alpha(snr_f, FLOOR_VETO_GATE_DB,
+                                          FLOOR_VETO_WIDTH_DB))
+            alpha = alpha[:, None, None]
             lin_mag = alpha * lin_mag + (1.0 - alpha) * mag
         if dsp.griffin_lim_warm_start:
             # re-seed from the carried phases, shifted one frame (the

@@ -156,7 +156,8 @@ def make_fast_step(cfg: Config, model):
             if est in ("removed", "both"):
                 p_out, p_rem = removed_powers(power, lin * lin)
                 rs = removed_step(RemovedState(em_o, em_r), p_out, p_rem,
-                                  total_beta_per_frame(hop, dsp.sample_rate))
+                                  total_beta_per_frame(hop, dsp.sample_rate,
+                                                       srv.snr_gate_tau_s))
                 em_o, em_r = rs.out, rs.rem
                 alpha = gate_alpha(removed_snr_db(rs), srv.snr_gate_db,
                                    srv.snr_gate_width_db)       # (B,)
@@ -164,7 +165,8 @@ def make_fast_step(cfg: Config, model):
                 fs = floor_step(FloorState(nf_s, nf_f, nf_t), power,
                                 smooth_beta_per_frame(hop, dsp.sample_rate),
                                 floor_rise_per_frame(hop, dsp.sample_rate),
-                                total_beta_per_frame(hop, dsp.sample_rate))
+                                total_beta_per_frame(hop, dsp.sample_rate,
+                                                       srv.snr_gate_tau_s))
                 nf_s, nf_f, nf_t = fs.smooth, fs.floor, fs.total
                 snr_f = snr_db_from_floor(fs.total,
                                           jnp.mean(nf_f, axis=-1))  # (B,)

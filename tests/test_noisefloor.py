@@ -101,7 +101,8 @@ class TestPipelineGate:
         base = np.asarray(offline_denoise(cfg, model, params, audio))
 
         low = dataclasses.replace(cfg, serving=dataclasses.replace(
-            cfg.serving, snr_gate_db=-60.0, snr_gate_width_db=1.0))
+            cfg.serving, snr_gate_db=-60.0, snr_gate_width_db=1.0,
+            snr_gate_estimator="removed"))
         out_pass = np.asarray(offline_denoise(low, model, params, audio))
         high = dataclasses.replace(cfg, serving=dataclasses.replace(
             cfg.serving, snr_gate_db=200.0, snr_gate_width_db=1.0))
@@ -123,10 +124,18 @@ class TestPipelineGate:
         from audio_denoising_tpu.runtime.engine import StreamEngine
         cfg0, model, params = load_pretrained("gruunet2-good")
         cfg = dataclasses.replace(cfg0, serving=dataclasses.replace(
-            cfg0.serving, snr_gate_db=-60.0, snr_gate_width_db=1.0))
+            cfg0.serving, snr_gate_db=-60.0, snr_gate_width_db=1.0,
+            snr_gate_estimator="removed"))
         eng = StreamEngine(cfg, model, params, mode="fast", max_streams=2)
-        assert eng.state.em_out is not None      # default estimator 'removed'
+        assert eng.state.em_out is not None      # pinned 'removed' above
         assert eng.state.nf_floor is None
+        # default estimator 'both' carries BOTH state sets
+        cfgb = dataclasses.replace(cfg0, serving=dataclasses.replace(
+            cfg0.serving, snr_gate_db=1.0))
+        engb = StreamEngine(cfgb, model, params, mode="fast",
+                            max_streams=2)
+        assert engb.state.em_out is not None
+        assert engb.state.nf_floor is not None
         hop = cfg.dsp.hop_length
         n_over = cfg.dsp.n_fft // hop
         eng.add_stream("s")
@@ -179,7 +188,8 @@ class TestPipelineGate:
         base = PRESETS["unet4-raw480"]
         cfg = dataclasses.replace(base, serving=dataclasses.replace(
             base.serving, unet_seg_hops=4, unet_ctx_samples=960,
-            max_streams=2, snr_gate_db=-60.0, snr_gate_width_db=1.0))
+            max_streams=2, snr_gate_db=-60.0, snr_gate_width_db=1.0,
+            snr_gate_estimator="removed"))
         hop = cfg.dsp.hop_length
         P = cfg.serving.unet_seg_hops
         seg, ctx = P * hop, cfg.serving.unet_ctx_samples
@@ -248,7 +258,8 @@ class TestPipelineGate:
             if gate_db is not None:
                 cfg = dataclasses.replace(cfg0, serving=dataclasses.replace(
                     cfg0.serving, snr_gate_db=gate_db,
-                    snr_gate_width_db=1.0))
+                    snr_gate_width_db=1.0,
+                    snr_gate_estimator="removed"))
             eng = StreamEngine(cfg, model, params, mode="webrtc",
                                max_streams=1)
             eng.add_stream("a")
@@ -299,7 +310,8 @@ class TestPipelineGate:
                + 0.001 * rng.standard_normal(t.size)).astype(np.float32)
         audio = jnp.asarray(sig[None])
         low = dataclasses.replace(cfg, serving=dataclasses.replace(
-            cfg.serving, snr_gate_db=-60.0, snr_gate_width_db=1.0))
+            cfg.serving, snr_gate_db=-60.0, snr_gate_width_db=1.0,
+            snr_gate_estimator="removed"))
         out = np.asarray(offline_denoise_stateless(low, model, params,
                                                    audio))
         a = np.asarray(audio)

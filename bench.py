@@ -319,6 +319,19 @@ def _bench_variants(cfg, model, params, chunks, K, hop):
     print(f"variant=fused_hop_bf16 p50={measure(b16, s0, chunks):.3f}ms",
           file=sys.stderr)
 
+    # near-clean SNR gate IN-KERNEL (tuned default: estimator 'both',
+    # gate 1 — five extra VMEM state planes, pure VPU work): the
+    # clean-audio-safety mode's serving cost
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from audio_denoising_tpu.config import with_snr_gate
+        gcfg = with_snr_gate(cfg, 1.0)
+    gated = jax.jit(make_fused_hop(gcfg, plan, hops_per_call=K))
+    sg = fused_hop_init_state(gcfg, plan, N_STREAMS)
+    print(f"variant=fused_hop_gated_both "
+          f"p50={measure(gated, sg, chunks):.3f}ms", file=sys.stderr)
+
     # int16 PCM boundary + pipelined d2h: halves the materialized bytes
     # per hop (the relay's d2h bandwidth is the with-host floor).
     i16 = jax.jit(make_fused_hop(cfg, plan, hops_per_call=K,

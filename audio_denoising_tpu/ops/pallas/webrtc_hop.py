@@ -114,13 +114,21 @@ def webrtc_hop_init_state(cfg: Config, plan, batch: int) -> WebRTCHopState:
 
 
 def make_webrtc_hop(cfg: Config, plan, interpret: bool = False,
-                    block_b: int = 32, compute_dtype=jnp.float32):
+                    block_b: int = 32, compute_dtype=jnp.float32,
+                    hops_per_call: int = 1):
     """One-kernel webrtc hop: ``step(state, chunk (B, hop)) -> (state',
     out (B, hop))``, matching pipeline.make_webrtc_step with
     griffin_lim_warm_start=True (app2.py:174-233 semantics).
 
     ``compute_dtype='bfloat16'`` switches the GL-loop matmuls to single
-    bf16 passes (the analysis and final synthesis stay 3-pass ~fp32)."""
+    bf16 passes (the analysis and final synthesis stay 3-pass ~fp32).
+
+    ``hops_per_call == K > 1`` -> ``step(state, chunks (K, B, hop)) ->
+    (state', outs (K, B, hop))``: K hops inside ONE pallas_call with the
+    per-stream state (ring, OLA, hx, GL phases) RESIDENT IN VMEM SCRATCH
+    across grid steps — the GL throughput path (the fused_hop resident
+    pattern; per-hop kernel launches and state HBM round trips vanish).
+    Hop-exact vs the sequential kernel (test-locked)."""
     dsp = cfg.dsp
     n_fft, hop, F, M = dsp.n_fft, dsp.hop_length, dsp.n_stft, dsp.n_mels
     assert n_fft == 2 * hop, "fused webrtc hop expects hop == n_fft/2"
@@ -179,14 +187,14 @@ def make_webrtc_hop(cfg: Config, plan, interpret: bool = False,
     gain = cfg.serving.output_gain
     decay = cfg.serving.state_decay
 
-    def kernel(ring_ref, ola_ref, hx_ref, are_ref, aim_ref, chunk_ref,
-               *refs):
-        (ring_o, ola_o, hx_o, are_o, aim_o, out_o) = refs[-6:]
-        cs = refs[:n_consts]
-        w = list(refs[n_consts:-6])
+    def _hop_math(cs, w, states, chunk):
+        """One webrtc hop on plain arrays: ``states`` is [ring, ola, hx,
+        a_re, a_im]; returns (new_states, out_hop). Shared by the
+        single-hop kernel and the resident multi-hop kernel."""
+        ring_prev, ola_prev, hx_prev, are_prev, aim_prev = states
         (cfh, cfl, sfh, sfl, jx, wn3, env_r, rre, rim, melr, imelr,
          winr) = cs
-        B = ring_ref.shape[0]
+        B = ring_prev.shape[0]
         f32 = jnp.float32
         bf16 = jnp.bfloat16
 
@@ -262,7 +270,7 @@ def make_webrtc_hop(cfg: Config, plan, interpret: bool = False,
             return jnp.concatenate([left, right], axis=1) / env_r[0]
 
         # --- analysis (app2.py:181-202); 3-pass — it feeds the model ----
-        ring = jnp.concatenate([ring_ref[:, hop:], chunk_ref[:]], axis=-1)
+        ring = jnp.concatenate([ring_prev[:, hop:], chunk], axis=-1)
         peak = jnp.max(jnp.abs(ring), axis=-1, keepdims=True)
         ok = peak > 1e-6
         normed = jnp.where(ok, ring / jnp.where(ok, peak, 1.0), ring)
@@ -275,7 +283,7 @@ def make_webrtc_hop(cfg: Config, plan, interpret: bool = False,
         mag_f = jnp.concatenate(
             [mag[:, :FP], mag[:, FP:2 * FP], mag[:, 2 * FP:]], axis=0)
         x = jnp.log(1.0 + dot32(mag_f, melr))         # (3B, M)
-        hx = hx_ref[:]
+        hx = hx_prev
         recs = []
         for t in range(3):
             xt = x[t * B:(t + 1) * B]
@@ -289,7 +297,7 @@ def make_webrtc_hop(cfg: Config, plan, interpret: bool = False,
             [lin[:B], lin[B:2 * B], lin[2 * B:]], axis=1)      # (B, 3FP)
 
         # --- warm GL seed: shift one frame, rotate the newest ------------
-        a_re, a_im = are_ref[:], aim_ref[:]
+        a_re, a_im = are_prev, aim_prev
         last_re = a_re[:, 2 * FP:]
         last_im = a_im[:, 2 * FP:]
         new_re = last_re * rre[0] - last_im * rim[0]
@@ -312,14 +320,95 @@ def make_webrtc_hop(cfg: Config, plan, interpret: bool = False,
 
         # --- synthesis + OLA (app2.py:224-231); 3-pass -------------------
         frame = istft3(gl_mag * a_re, gl_mag * a_im, True) * peak
-        out_o[:] = ola_ref[:, :hop]
+        out_hop = ola_prev[:, :hop]
         ola = jnp.concatenate(
-            [ola_ref[:, hop:], jnp.zeros_like(ola_ref[:, :hop])], axis=-1)
-        ola_o[:] = ola + frame
-        ring_o[:] = ring
-        hx_o[:] = hx * decay
-        are_o[:] = a_re
-        aim_o[:] = a_im
+            [ola_prev[:, hop:], jnp.zeros_like(ola_prev[:, :hop])],
+            axis=-1) + frame
+        return [ring, ola, hx * decay, a_re, a_im], out_hop
+
+    N_STATE = 5
+
+    def kernel(*refs):
+        ins = refs[:N_STATE + 1]                      # states + chunk
+        outs = refs[-(N_STATE + 1):]                  # states' + out
+        cs = refs[N_STATE + 1:N_STATE + 1 + n_consts]
+        w = list(refs[N_STATE + 1 + n_consts:-(N_STATE + 1)])
+        states, out = _hop_math(cs, w, [r[:] for r in ins[:N_STATE]],
+                                ins[N_STATE][:])
+        for o, v in zip(outs[:N_STATE], states):
+            o[:] = v
+        outs[N_STATE][:] = out
+
+    K = hops_per_call
+
+    def kernel_multi(*refs):
+        ins = refs[:N_STATE + 1]                      # states + chunks
+        scratch = refs[-N_STATE:]                     # VMEM-resident
+        outs = refs[-(2 * N_STATE + 1):-N_STATE]      # states' + outs
+        cs = refs[N_STATE + 1:N_STATE + 1 + n_consts]
+        w = list(refs[N_STATE + 1 + n_consts:-(2 * N_STATE + 1)])
+        chunk_ref = ins[N_STATE]
+        out_o = outs[N_STATE]
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            for sc, r in zip(scratch, ins[:N_STATE]):
+                sc[:] = r[:]
+
+        states = [sc[:] for sc in scratch]
+        states, out = _hop_math(cs, w, states, chunk_ref[0])
+        out_o[0] = out
+        for sc, v in zip(scratch, states):
+            sc[:] = v
+
+        @pl.when(k == K - 1)
+        def _():
+            for o, v in zip(outs[:N_STATE], states):
+                o[:] = v
+
+    def step_multi(state: WebRTCHopState, chunks: jnp.ndarray):
+        k, b = chunks.shape[0], chunks.shape[1]
+        assert k == K, f"expected {K} hops per call, got {k}"
+        bp = _round_up(b, block_b)
+        states = list(state)
+        if bp != b:
+            states = [jnp.pad(a, ((0, bp - b), (0, 0))) for a in states]
+            chunks = jnp.pad(chunks, ((0, 0), (0, bp - b), (0, 0)))
+        grid = (bp // block_b, K)
+        bspec = lambda width: pl.BlockSpec(
+            (block_b, width), lambda i, kk: (i, 0),
+            memory_space=pltpu.VMEM)
+        kspec = pl.BlockSpec((1, block_b, hop), lambda i, kk: (kk, i, 0),
+                             memory_space=pltpu.VMEM)
+        const_specs = [pl.BlockSpec(op.shape, lambda i, kk: (0, 0),
+                                    memory_space=pltpu.VMEM)
+                       for op in operands]
+        widths = [n_fft, n_fft, states[2].shape[1], 3 * FP, 3 * FP]
+        state_specs = [bspec(wd) for wd in widths]
+        res = pl.pallas_call(
+            kernel_multi,
+            grid=grid,
+            in_specs=state_specs + [kspec] + const_specs,
+            out_specs=tuple(state_specs) + (kspec,),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((bp, wd), jnp.float32)
+                for wd in widths)
+            + (jax.ShapeDtypeStruct((K, bp, hop), jnp.float32),),
+            scratch_shapes=[pltpu.VMEM((block_b, wd), jnp.float32)
+                            for wd in widths],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(*states, chunks, *operands)
+        new_states, outs = list(res[:-1]), res[-1]
+        if bp != b:
+            new_states = [a[:b] for a in new_states]
+            outs = outs[:, :b]
+        return WebRTCHopState(*new_states), outs
+
+    if hops_per_call > 1:
+        return step_multi
 
     def step(state: WebRTCHopState,
              chunk: jnp.ndarray) -> Tuple[WebRTCHopState, jnp.ndarray]:

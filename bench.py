@@ -408,6 +408,26 @@ def _bench_variants(cfg, model, params, chunks, K, hop):
         print(f"variant=fused_webrtc_gl8 p50={np.percentile(ts, 50):.3f}ms "
               f"(hop {whop / wcfg.dsp.sample_rate * 1e3:.0f}ms @48kHz)",
               file=sys.stderr)
+
+        # resident multi-hop webrtc (hops_per_call=K): K GL hops inside
+        # ONE pallas_call, state in VMEM scratch — the GL throughput
+        # path (amortizes dispatch; hop-exact vs sequential)
+        KW = 25
+        wmulti = jax.jit(make_webrtc_hop(wcfg, wplan, block_b=128,
+                                         hops_per_call=KW))
+        wck = jnp.zeros((KW, N_STREAMS, whop), jnp.float32)
+        ws = webrtc_hop_init_state(wcfg, wplan, N_STREAMS)
+        for _ in range(2):
+            ws, wo = wmulti(ws, wck)
+        jax.block_until_ready(wo)
+        ts = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            ws, wo = wmulti(ws, wck)
+            jax.block_until_ready(wo)
+            ts.append((time.perf_counter() - t0) * 1e3 / KW)
+        print(f"variant=fused_webrtc_gl8_resident_k{KW} "
+              f"p50={np.percentile(ts, 50):.3f}ms", file=sys.stderr)
     except Exception as e:
         print(f"webrtc variant skipped: {e}", file=sys.stderr)
 

@@ -259,3 +259,39 @@ class TestLongHorizonLocks:
                                f"at hop {t}"
         np.testing.assert_allclose(
             np.asarray(s0.hx).reshape(B, -1), np.asarray(s1.hx), atol=1e-5)
+
+
+class TestWebRTCHopResident:
+    """Resident multi-hop variant (hops_per_call=K): K hops inside one
+    pallas_call, state in VMEM scratch across grid steps — must be
+    hop-exact vs the sequential kernel (same math, same order)."""
+
+    def test_multi_hop_matches_sequential(self, rng):
+        cfg, model, params, plan = _small_setup()
+        B, K, hop = 3, 4, cfg.dsp.hop_length
+        single = make_webrtc_hop(cfg, plan, interpret=True, block_b=8)
+        multi = make_webrtc_hop(cfg, plan, interpret=True, block_b=8,
+                                hops_per_call=K)
+        chunks = jnp.asarray(0.2 * rng.standard_normal((K, B, hop)),
+                             jnp.float32)
+        s_m = s_s = webrtc_hop_init_state(cfg, plan, B)
+        s_m, outs = multi(s_m, chunks)
+        for k in range(K):
+            s_s, out = single(s_s, chunks[k])
+            np.testing.assert_allclose(np.asarray(outs[k]),
+                                       np.asarray(out), atol=1e-6)
+        for leaf_m, leaf_s in zip(s_m, s_s):
+            np.testing.assert_allclose(np.asarray(leaf_m),
+                                       np.asarray(leaf_s), atol=1e-6)
+
+    def test_multi_hop_pads_ragged_batch(self, rng):
+        cfg, model, params, plan = _small_setup(n_iter=2)
+        B, K, hop = 5, 2, cfg.dsp.hop_length   # 5 % block_b(8) != 0
+        multi = make_webrtc_hop(cfg, plan, interpret=True, block_b=8,
+                                hops_per_call=K)
+        chunks = jnp.asarray(0.2 * rng.standard_normal((K, B, hop)),
+                             jnp.float32)
+        s, outs = multi(webrtc_hop_init_state(cfg, plan, B), chunks)
+        assert outs.shape == (K, B, hop)
+        assert s.ring.shape[0] == B
+        assert np.isfinite(np.asarray(outs)).all()

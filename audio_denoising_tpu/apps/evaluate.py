@@ -365,7 +365,8 @@ def main(argv=None) -> int:
     p.add_argument("--snr-gate-estimator", default=None,
                    choices=("removed", "floor", "both"),
                    help="SNR estimator for the gate (ops/noisefloor.py); "
-                        "default 'removed' (model-informed)")
+                        "default 'both' (model-informed decision + "
+                        "floor-tracker veto)")
     args = p.parse_args(argv)
     if args.manifest:
         report = evaluate_manifest(args.model, args.manifest,

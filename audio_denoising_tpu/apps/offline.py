@@ -61,11 +61,20 @@ def denoise_array(cfg: Config, model, params, samples: np.ndarray,
 
 
 def denoise_file(spec: str, in_path: str, out_path: str,
-                 cfg: Optional[Config] = None) -> str:
+                 cfg: Optional[Config] = None,
+                 snr_gate_db: Optional[float] = None,
+                 snr_gate_width_db: Optional[float] = None,
+                 snr_gate_estimator: Optional[str] = None) -> str:
     """Any decodable container in (wav natively; mp3/webm through the
     system codec libs, matching the reference's decode-anything upload
-    path, app.py:171-223) -> denoised WAV out."""
+    path, app.py:171-223) -> denoised WAV out. The gate args apply
+    with_snr_gate AFTER the checkpoint config loads (one load, not
+    two)."""
     cfg, model, params = load_pretrained(spec, cfg)
+    if snr_gate_db is not None:
+        from audio_denoising_tpu.config import with_snr_gate
+        cfg = with_snr_gate(cfg, snr_gate_db, snr_gate_width_db,
+                            snr_gate_estimator)
     if in_path.lower().endswith(".wav"):
         samples, sr = read_wav(in_path)
     else:
@@ -93,13 +102,9 @@ def main(argv=None) -> int:
                    choices=("removed", "floor", "both"),
                    help="gate SNR estimator (ops/noisefloor.py)")
     args = p.parse_args(argv)
-    cfg = None
-    if args.snr_gate is not None:
-        from audio_denoising_tpu.config import with_snr_gate
-        from audio_denoising_tpu.hub import load_pretrained as _lp
-        cfg, _, _ = _lp(args.model)
-        cfg = with_snr_gate(cfg, args.snr_gate, args.snr_gate_width,
-                            args.snr_gate_estimator)
-    path = denoise_file(args.model, args.input, args.output, cfg=cfg)
+    path = denoise_file(args.model, args.input, args.output,
+                        snr_gate_db=args.snr_gate,
+                        snr_gate_width_db=args.snr_gate_width,
+                        snr_gate_estimator=args.snr_gate_estimator)
     print(f"wrote {path}")
     return 0

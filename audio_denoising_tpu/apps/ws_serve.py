@@ -253,8 +253,9 @@ def main(argv=None) -> int:
                    help="gate transition width in dB (tuned default 6)")
     p.add_argument("--snr-gate-estimator", default=None,
                    choices=("removed", "floor", "both"),
-                   help="gate SNR estimator (default 'removed': "
-                        "model-informed; ops/noisefloor.py)")
+                   help="gate SNR estimator (default 'both': model-"
+                        "informed decision + floor-tracker veto; "
+                        "ops/noisefloor.py)")
     p.add_argument("--dtype", choices=["float32", "bfloat16", "int8"],
                    default=None,
                    help="serving compute dtype override (int8 = W8A8 "

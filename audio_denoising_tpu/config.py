@@ -148,8 +148,11 @@ class ServingConfig:
     # SNR-gated output blend (round 4, VERDICT r3 #1 serving-side): when
     # set, a per-stream estimator (ops/noisefloor.py) reads the input
     # SNR per frame and the output magnitude blends toward PASSTHROUGH
-    # on near-clean input: alpha = sigmoid((snr_gate_db - snr_est) /
-    # snr_gate_width_db); out = alpha * denoised + (1 - alpha) * input.
+    # on near-clean input. The blend is a clipped RAMP
+    # (noisefloor.gate_alpha): alpha = clip((gate + width - snr_est) /
+    # (2 * width), 0, 1) — full denoise at/below gate - width, full
+    # passthrough at/above gate + width;
+    # out = alpha * denoised + (1 - alpha) * input.
     # Counters the causal family's clean-input damage without retraining
     # (every causal checkpoint measured negative ΔSI-SDR at +10 dB input
     # on manifest v2). None = off (bit-identical to round-3 behavior).

@@ -154,6 +154,18 @@ FLOOR_VETO_GATE_DB = 4.5
 FLOOR_VETO_WIDTH_DB = 2.5
 
 
+def estimator_planes(estimator: str) -> Tuple[bool, bool]:
+    """(uses_removed, uses_floor): which estimator state sets a gate
+    configuration carries. THE single predicate — every serving path's
+    state init and step must agree on it ('both' carries all five
+    planes; a drifted hand-rolled copy crashed engine mode 'unet' under
+    the tuned default in round 4)."""
+    if estimator not in ("removed", "floor", "both"):
+        raise ValueError(f"unknown snr_gate_estimator {estimator!r}")
+    return (estimator in ("removed", "both"),
+            estimator in ("floor", "both"))
+
+
 def gate_alpha(snr_db: jnp.ndarray, gate_db: float,
                width_db: float) -> jnp.ndarray:
     """Denoise weight in [0, 1]: 1 at/below gate - width (noisy ->

@@ -73,8 +73,8 @@ class FusedHopState(NamedTuple):
     # cfg.serving.snr_gate_db is set — the gate runs IN-KERNEL (cheap VPU
     # elementwise + row reductions), so the fastest serving mode keeps
     # the clean-audio-safety feature instead of downgrading to op-by-op.
-    # estimator 'floor' carries the nf_* planes; 'removed' (default) the
-    # em_* EMA pair. Scalar (B,) EMAs are stored as (B, _TOT_W) planes
+    # estimator 'floor' carries the nf_* planes, 'removed' the em_* EMA
+    # pair, 'both' (the default) all five. Scalar (B,) EMAs are stored as (B, _TOT_W) planes
     # (TPU state buffers are 2-D lane-tiled; column 0 is authoritative,
     # the rest carry the same broadcast value).
     nf_smooth: Optional[jnp.ndarray] = None   # (B, F)
@@ -100,9 +100,9 @@ def fused_hop_init_state(cfg: Config, plan, batch: int) -> FusedHopState:
     if plan.delta:
         prev = jnp.zeros((batch, _feat_width(cfg)), jnp.float32)
     gate = cfg.serving.snr_gate_db is not None
-    floor = gate and cfg.serving.snr_gate_estimator in ("floor", "both")
-    removed = gate and cfg.serving.snr_gate_estimator in ("removed",
-                                                          "both")
+    from audio_denoising_tpu.ops.noisefloor import estimator_planes
+    removed, floor = estimator_planes(cfg.serving.snr_gate_estimator)
+    removed, floor = gate and removed, gate and floor
     F = cfg.dsp.n_stft
     return FusedHopState(
         ring=jnp.zeros((batch, n_fft), jnp.float32),
@@ -173,8 +173,9 @@ def make_fused_hop(cfg: Config, plan, interpret: bool = False,
     # planes; 'floor' two extra (B, F) planes.
     gate = srv.snr_gate_db is not None
     g_est = srv.snr_gate_estimator
-    g_removed = gate and g_est in ("removed", "both")
-    g_floor = gate and g_est in ("floor", "both")
+    from audio_denoising_tpu.ops.noisefloor import estimator_planes
+    g_removed, g_floor = estimator_planes(g_est)
+    g_removed, g_floor = gate and g_removed, gate and g_floor
     if gate:
         from audio_denoising_tpu.ops.noisefloor import (
             FLOOR_BIAS, FLOOR_VETO_GATE_DB, FLOOR_VETO_WIDTH_DB, _EPS,
@@ -549,9 +550,9 @@ def make_fused_hop_sharded(cfg: Config, plan, mesh, interpret: bool = False,
                           compute_dtype=compute_dtype)
     axis = mesh.axis_names[0]
     gate = cfg.serving.snr_gate_db is not None
-    floor = gate and cfg.serving.snr_gate_estimator in ("floor", "both")
-    removed = gate and cfg.serving.snr_gate_estimator in ("removed",
-                                                          "both")
+    from audio_denoising_tpu.ops.noisefloor import estimator_planes
+    removed, floor = estimator_planes(cfg.serving.snr_gate_estimator)
+    removed, floor = gate and removed, gate and floor
     state_spec = FusedHopState(
         ring=P(axis), ola=P(axis), hx=P(axis),
         prev=P(axis) if plan.delta else None,

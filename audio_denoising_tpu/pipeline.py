@@ -211,8 +211,9 @@ def unet_stream_init_state(cfg: Config, model, batch: int,
                            dtype=jnp.float32) -> UNetStreamState:
     hop, _p, seg, ctx = _unet_stream_geometry(cfg)
     gate = cfg.serving.snr_gate_db is not None
-    floor = gate and cfg.serving.snr_gate_estimator == "floor"
-    removed = gate and not floor
+    from audio_denoising_tpu.ops.noisefloor import estimator_planes
+    r_, f_ = estimator_planes(cfg.serving.snr_gate_estimator)
+    removed, floor = gate and r_, gate and f_
     return UNetStreamState(
         ring=jnp.zeros((batch, ctx + seg + ctx), dtype),
         out=jnp.zeros((batch, seg), dtype),
@@ -251,8 +252,9 @@ def make_unet_stream_step(cfg: Config, model):
     hop, seg_hops, seg, ctx = _unet_stream_geometry(cfg)
     gate = cfg.serving.snr_gate_db is not None
     est = cfg.serving.snr_gate_estimator
-    removed = gate and est in ("removed", "both")
-    floor = gate and est in ("floor", "both")
+    from audio_denoising_tpu.ops.noisefloor import estimator_planes
+    r_, f_ = estimator_planes(est)
+    removed, floor = gate and r_, gate and f_
     if gate:
         # the window denoise runs UNGATED; the gate applies here with an
         # estimator carried ACROSS windows (see UNetStreamState note)
@@ -395,9 +397,9 @@ def webrtc_init_state(cfg: Config, model, batch: int,
         a[..., 0] = 1.0
         angles = jnp.asarray(a)
     gate = cfg.serving.snr_gate_db is not None
-    floor = gate and cfg.serving.snr_gate_estimator in ("floor", "both")
-    removed = gate and cfg.serving.snr_gate_estimator in ("removed",
-                                                          "both")
+    from audio_denoising_tpu.ops.noisefloor import estimator_planes
+    r_, f_ = estimator_planes(cfg.serving.snr_gate_estimator)
+    removed, floor = gate and r_, gate and f_
     return WebRTCState(
         ring=jnp.zeros((batch, n_fft), dtype),
         ola=jnp.zeros((batch, n_fft), dtype),

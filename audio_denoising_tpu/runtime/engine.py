@@ -62,9 +62,9 @@ def fast_init_state(cfg: Config, model, batch: int,
                     dtype=jnp.float32) -> FastState:
     n_fft = cfg.dsp.n_fft
     gate = cfg.serving.snr_gate_db is not None
-    est = cfg.serving.snr_gate_estimator
-    floor = gate and est in ("floor", "both")
-    removed = gate and est in ("removed", "both")
+    from audio_denoising_tpu.ops.noisefloor import estimator_planes
+    removed, floor = estimator_planes(cfg.serving.snr_gate_estimator)
+    removed, floor = gate and removed, gate and floor
     # distinct arrays: donation-based slot updates reject one buffer
     # appearing twice in the argument pytree
     return FastState(

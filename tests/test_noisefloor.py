@@ -432,3 +432,33 @@ class TestGateAlphaRamp:
         snr = jnp.linspace(-3.0, 5.0, 9)        # inside (gate +- width)
         a = np.asarray(gate_alpha(snr, gate_db=1.0, width_db=4.0))
         np.testing.assert_allclose(np.diff(a), np.diff(a)[0], atol=1e-6)
+
+
+class TestUnetModeDefaultEstimator:
+    def test_unet_gate_with_both_estimator_runs(self, rng):
+        """Round-4 review regression: unet_stream_init_state's hand-rolled
+        estimator predicate drifted from the step's ('both' allocated em_*
+        but not nf_*), so engine mode 'unet' with the TUNED DEFAULT
+        (`--snr-gate 1`, estimator 'both') crashed on the first segment
+        boundary. The predicate now lives in one place
+        (noisefloor.estimator_planes); this locks the e2e path."""
+        import dataclasses
+        from audio_denoising_tpu.config import PRESETS, with_snr_gate
+        from audio_denoising_tpu.models import build_model
+        from audio_denoising_tpu.runtime.engine import StreamEngine
+        import jax
+        cfg = PRESETS["unet4-raw480"]
+        cfg = dataclasses.replace(cfg, serving=dataclasses.replace(
+            cfg.serving, output_gain=1.0, unet_seg_hops=4,
+            unet_ctx_samples=cfg.dsp.hop_length))
+        cfg = with_snr_gate(cfg, 1.0)          # tuned default: 'both'
+        model = build_model(cfg.model, num_bins=cfg.dsp.n_stft)
+        params = model.init(jax.random.PRNGKey(0))
+        eng = StreamEngine(cfg, model, params, mode="unet", max_streams=2)
+        assert eng.state.nf_floor is not None and eng.state.em_out is not None
+        hop = cfg.dsp.hop_length
+        eng.add_stream("s")
+        for t in range(6):                     # crosses a segment boundary
+            out = eng.process({"s": (0.1 * rng.standard_normal(hop)
+                                     ).astype(np.float32)})
+            assert np.isfinite(out["s"]).all()

@@ -363,6 +363,16 @@ PRESETS: Dict[str, Config] = {
                       reconstruction="phase"),
         model=ModelConfig(arch="UNet2d4"),
     ),
+    # Capacity axis for the stateless family: unet2.py's channel ladder
+    # (64/64/128/128/256/256) on the unet4 front-end/head. The reference
+    # defines the wide spec (unet2.py:24-60) but never trains it; round 4
+    # probes whether the crop2s champion is capacity-limited the way the
+    # recurrent family was (mel128 w40 -> w64 gained +1.5 dB SI-SDR).
+    "unet4wide-raw480": Config(
+        dsp=DSPConfig(n_fft=480, hop_length=384, n_mels=241, domain="raw",
+                      reconstruction="phase"),
+        model=ModelConfig(arch="UNet2d4Wide"),
+    ),
     # TRUNet live (round 3): the vendored model's 257-bin per-frame
     # contract (reference trunet.py:122-158) fixes n_fft = 512
     # (n_stft = 257); 16 kHz is the TRU-Net paper's rate. Raw domain,

@@ -196,16 +196,18 @@ class TestDeviceResidentTraining:
 
 
 class TestStatelessTraining:
-    def test_unet4_training_step_works(self):
-        """Regression: the unet4-raw480 preset must be trainable (raw-domain
-        features, image-shaped forward with frame padding)."""
+    @pytest.mark.parametrize("preset", ["unet4-raw480", "unet4wide-raw480"])
+    def test_unet4_training_step_works(self, preset):
+        """Regression: the stateless presets must be trainable (raw-domain
+        features, image-shaped forward with frame padding). The wide preset
+        exercises UNet2d4Wide's asymmetric channel ladder end-to-end."""
         import dataclasses
         import jax.numpy as jnp
         from audio_denoising_tpu.config import PRESETS
         from audio_denoising_tpu.models import build_model
         from audio_denoising_tpu.train.context import TrainingContext
         rng = np.random.default_rng(0)
-        cfg = PRESETS["unet4-raw480"]
+        cfg = PRESETS[preset]
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, batch_size=2, crop_samples=12000))
         model = build_model(cfg.model, num_bins=cfg.dsp.n_stft)

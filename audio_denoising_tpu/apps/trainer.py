@@ -82,6 +82,23 @@ def main(argv=None) -> int:
     p.add_argument("--wave-l1-weight", type=float, default=None,
                    help="weight of the waveform-L1 term in the "
                         "recon_mrstft objective (default 10.0)")
+    p.add_argument("--lookahead", type=int, default=None,
+                   help="bounded lookahead in FRAMES (hops): train the "
+                        "model's output at step t to target frame t - k, "
+                        "so serving sees k hops of future context at "
+                        "k*hop/sr seconds of added latency (the round-5 "
+                        "latency-quality frontier axis; recurrent family "
+                        "only). The checkpoint carries the shift "
+                        "(ModelConfig.lookahead_frames) and every serving "
+                        "surface re-aligns automatically")
+    p.add_argument("--distill-from", default=None,
+                   help="teacher checkpoint path: the training target "
+                        "becomes the TEACHER's denoised output on each "
+                        "mixture (computed on device, stop-gradient) "
+                        "instead of the clean crop — teacher-student "
+                        "distillation across the latency frontier "
+                        "(train/distill.py). Same-sample-rate teacher "
+                        "required")
     p.add_argument("--hidden", type=int, default=None,
                    help="override the model's hidden width (uniform "
                         "across levels) — capacity-scaling experiments; "
@@ -148,6 +165,8 @@ def main(argv=None) -> int:
         overrides["mrstft_weight"] = args.mrstft_weight
     if args.wave_l1_weight is not None:
         overrides["wave_l1_weight"] = args.wave_l1_weight
+    if args.distill_from is not None:
+        overrides["distill_from"] = args.distill_from
     if overrides:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **overrides))
@@ -156,6 +175,10 @@ def main(argv=None) -> int:
             cfg, model=dataclasses.replace(
                 cfg.model,
                 hidden_sizes=(args.hidden,) * len(cfg.model.hidden_sizes)))
+    if args.lookahead is not None:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, lookahead_frames=args.lookahead))
     if args.objective == "recon_mrstft":
         # trained through the reconstruction, the model is level-
         # calibrated: the preset's x3 serving gain / 0.9 state decay are

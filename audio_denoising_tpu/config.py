@@ -78,6 +78,20 @@ class ModelConfig:
     chnls_out: int = 1
     chnls_gs: int = 32
     dropout: float = 0.01
+    # Bounded lookahead (round 5, VERDICT r4 #1 — the latency–quality
+    # frontier): the model's output at step t is trained to target frame
+    # t - lookahead_frames, so the recurrence sees `lookahead_frames` of
+    # FUTURE context relative to every emitted frame. This is a property
+    # of the trained weights (the shift is baked into the objective), so
+    # it lives in ModelConfig and travels with the checkpoint; serving
+    # surfaces (pipeline.offline_denoise, engine mode 'fast') read it and
+    # delay reconstruction by the same k frames. Added serving latency =
+    # lookahead_frames * hop_length samples on top of the causal path's.
+    # 0 = strictly causal (every pre-round-5 checkpoint). Recurrent
+    # (GRUUNet/MOMO) family only — the stateless U-Nets already see their
+    # whole segment. No reference counterpart (the reference's latency is
+    # fixed at one 32 ms frame, app2.py:185-233).
+    lookahead_frames: int = 0
     extra: Dict[str, Any] = field(default_factory=dict)
 
     @classmethod
@@ -228,6 +242,16 @@ class TrainConfig:
     # manifest v2): the SNR curriculum's gain floor (0.02) never shows
     # the model a truly clean input, so it learns to always suppress.
     identity_prob: float = 0.0
+    # Teacher-student distillation (round 5, VERDICT r4 #5): path of a
+    # teacher checkpoint. When set, the training target waveform is the
+    # TEACHER's denoised output on each mixture (computed on device,
+    # stop-gradient) instead of the ground-truth clean crop — the
+    # hypothesis is that the teacher's achievable mapping is easier for
+    # a causal student to match than the truth. Teacher runs through its
+    # own serving chain (stateless segment path for the unet4 family)
+    # with any SNR gate disabled. No reference counterpart (the
+    # reference trains against clean targets only, SURVEY §3.5).
+    distill_from: Optional[str] = None
 
 
 @dataclass(frozen=True)

@@ -126,11 +126,24 @@ def offline_denoise(cfg: Config, model, params, audio: jnp.ndarray,
     length = audio.shape[-1]
     fb, inv, win = _transforms(cfg)
 
+    la = getattr(cfg.model, "lookahead_frames", 0)
+    if la:
+        # bounded-lookahead checkpoint (ModelConfig.lookahead_frames):
+        # the model's output at step t targets frame t - la, so feed la
+        # extra hops of silence to flush the tail — exactly what the
+        # streaming path does when the input ends — and re-align below.
+        audio = jnp.pad(audio, ((0, 0), (0, la * dsp.hop_length)))
     spec = stft(audio, dsp.n_fft, dsp.hop_length, dsp.win, window=win)
     mag = jnp.abs(spec)
     logmel = _to_features(cfg, mag, fb)                    # (B, M, T)
     x = jnp.swapaxes(logmel, -1, -2)                       # (B, T, M)
     resid, _ = model.apply(params, x, hx)
+    if la:
+        t_use = x.shape[1] - la            # frame count of the raw input
+        resid = resid[:, la:]              # pred[t+la] targets frame t
+        x = x[:, :t_use]
+        spec = spec[..., :t_use]
+        mag = mag[..., :t_use]
     recon = jax.nn.leaky_relu(x - resid, negative_slope=0.2)
     lin_mag = _to_linear(cfg, jnp.swapaxes(recon, -1, -2), inv)  # (B, F, T)
     lin_mag = _apply_snr_gate(cfg, mag, lin_mag)
@@ -421,6 +434,12 @@ def make_webrtc_step(cfg: Config, model):
     (output segment is emitted BEFORE the current frame enters the OLA
     buffer, app2.py:226-231)."""
     dsp = cfg.dsp
+    if getattr(cfg.model, "lookahead_frames", 0):
+        raise ValueError(
+            "lookahead checkpoints (ModelConfig.lookahead_frames > 0) "
+            "stream via engine mode 'fast' (delayed phase-reuse "
+            "reconstruction); the Griffin-Lim webrtc path has no delayed "
+            "magnitude ring")
     n_fft, hop = dsp.n_fft, dsp.hop_length
     fb, inv, win = _transforms(cfg)
     # per-bin linear phase advance of one hop, applied ONLY to the
@@ -549,6 +568,11 @@ def make_server_step(cfg: Config, model):
     config."""
     dsp = cfg.dsp
     srv = cfg.serving
+    if getattr(cfg.model, "lookahead_frames", 0):
+        raise ValueError(
+            "lookahead checkpoints (ModelConfig.lookahead_frames > 0) "
+            "stream via engine mode 'fast'; the per-message server step "
+            "cannot carry the cross-chunk delay ring")
     fb, inv, win = _transforms(cfg)
 
     def step(params, hx, chunk: jnp.ndarray):

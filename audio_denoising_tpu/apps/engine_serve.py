@@ -152,6 +152,8 @@ class EngineDaemon:
                 elif op == "stats":
                     reply(("stats", {
                         "active_streams": self.engine.active_streams,
+                        "algorithmic_latency_ms": round(
+                            self.engine.algorithmic_latency_ms, 3),
                         **self.metrics.summary()}))
                 else:
                     reply(("err", None, f"unknown op {op!r}"))

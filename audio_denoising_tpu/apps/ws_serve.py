@@ -197,6 +197,8 @@ class WSDaemon:
                     if payload.strip() == b"stats":
                         ws.send_frame(conn, json.dumps({
                             "active_streams": self.engine.active_streams,
+                            "algorithmic_latency_ms": round(
+                                self.engine.algorithmic_latency_ms, 3),
                             **self.metrics.summary()}).encode(), ws.OP_TEXT)
                     continue
                 # tolerate odd-length frames (truncated int16 sample)

@@ -76,8 +76,14 @@ seg_train gruunet2mel128w64-distill-50k 50000 \
   --preset gruunet2-mel128 --hidden 64 --snr-range -10 15 \
   --distill-from $TEACHER
 
-# ---- evals (CPU-forced) ----------------------------------------------------
-export ADT_FORCE_CPU=1
+# ---- evals ------------------------------------------------------------------
+# On the chip when it answers (an eval is ~128 offline dispatches — minutes
+# on the relay, an hour+ CPU-forced); fall back to CPU on a dead relay,
+# the round-4 outage pattern.
+if ! timeout 120 python -c "import jax, jax.numpy as j; (j.ones((8,8))@j.ones((8,8))).block_until_ready()" >/dev/null 2>&1; then
+  echo "relay down at eval time; CPU-forced evals" >> /tmp/r5_queue2.log
+  export ADT_FORCE_CPU=1
+fi
 
 run_eval () {  # $1 ckpt
   local ckpt=$1

@@ -2,6 +2,7 @@
 STFT front-end, no recurrence) and its cadence-locked streaming mode."""
 
 import dataclasses
+import os
 
 import numpy as np
 import pytest
@@ -137,6 +138,84 @@ class TestUNetStreaming:
                     history = np.concatenate(
                         [history[hop:], audio[s * hop:(s + 1) * hop]])
                 break
+
+    def test_streamed_offline_matches_engine(self, unet, rng):
+        """pipeline.offline_denoise_streamed == engine mode 'unet' fed
+        hop by hop (minus the removed seg+ctx delay) — the bounded-
+        latency frontier evaluator measures exactly what a live stream
+        would hear (round 5, VERDICT r4 #1)."""
+        from audio_denoising_tpu.pipeline import offline_denoise_streamed
+        cfg, model, params = unet
+        cfg = _stream_cfg(cfg)
+        hop = cfg.dsp.hop_length
+        P = cfg.serving.unet_seg_hops
+        seg, ctx = P * hop, cfg.serving.unet_ctx_samples
+        delay = seg + ctx
+        n = 4 * seg
+        audio = 0.1 * rng.standard_normal(n).astype(np.float32)
+
+        streamed = np.asarray(offline_denoise_streamed(
+            cfg, model, params, jnp.asarray(audio)))
+        assert streamed.shape == audio.shape
+
+        eng = StreamEngine(cfg, model, params, mode="unet", max_streams=2)
+        eng.add_stream("a")
+        padded = np.concatenate(
+            [audio, np.zeros((-(-(n + delay) // hop)) * hop - n,
+                             np.float32)])
+        eng_out = np.concatenate(
+            [eng.process({"a": padded[t * hop:(t + 1) * hop]})["a"]
+             for t in range(len(padded) // hop)])
+        np.testing.assert_allclose(streamed, eng_out[delay:delay + n],
+                                   rtol=0, atol=1e-5)
+
+    def test_streamed_offline_zero_model_identity(self, rng):
+        """Zero residual: the streamed evaluator's realignment must be
+        sample-exact — output == input past the first window warm-up."""
+        from audio_denoising_tpu.pipeline import offline_denoise_streamed
+        cfg = _stream_cfg(PRESETS["unet4-raw480"], seg_hops=4, ctx=960)
+        seg = cfg.serving.unet_seg_hops * cfg.dsp.hop_length
+        n = 6 * seg
+        t_ax = np.arange(n, dtype=np.float32)
+        audio = (0.2 * np.sin(2 * np.pi * 440 * t_ax / 48000)
+                 + 0.02 * rng.standard_normal(n)).astype(np.float32)
+        out = np.asarray(offline_denoise_streamed(
+            cfg, _ZeroUNet(), None, jnp.asarray(audio)))
+        np.testing.assert_allclose(out[2 * seg:], audio[2 * seg:],
+                                   atol=5e-3)
+
+    def test_streamed_manifest_eval_flag(self, tmp_path, rng):
+        """evaluate_manifest(streamed=True) runs end to end against a
+        tiny frozen manifest and records the latency budget; a recurrent
+        checkpoint is rejected with a pointer to lookahead_frames."""
+        import json as _json
+        from audio_denoising_tpu.apps.evaluate import evaluate_manifest
+        data = "/root/reference/data/uncompressed/cats"
+        if not os.path.isdir(data):
+            pytest.skip("reference corpus not mounted")
+        manifest = {
+            "version": "test-tiny",
+            "data_dir": data,
+            "crop_seconds": 0.3,
+            "blocks": [{"seed": 900, "noise_gain": 0.5, "n": 2}],
+        }
+        mpath = tmp_path / "m.json"
+        mpath.write_text(_json.dumps(manifest))
+        ckpt = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "runs", "unet4-mrstft-30k.npz")
+        if not os.path.exists(ckpt):
+            pytest.skip("unet4 checkpoint absent")
+        rep = evaluate_manifest(ckpt, str(mpath),
+                                n_boot=50, streamed=True,
+                                unet_seg_hops=4, unet_ctx=960)
+        assert rep["streamed"] is True
+        assert rep["unet_seg_hops"] == 4
+        assert rep["stream_latency_ms"] == pytest.approx(
+            (4 * 384 + 960) / 48000 * 1e3, rel=1e-3)
+        assert np.isfinite(rep["metrics"]["si_sdr_out"]["mean"])
+        with pytest.raises(ValueError, match="lookahead_frames"):
+            evaluate_manifest("gruunet2-good", str(mpath), n_boot=50,
+                              streamed=True)
 
     def test_zero_model_delay_is_identity(self, rng):
         """With a zero residual the stream is the input delayed by exactly

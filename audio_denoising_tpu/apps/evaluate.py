@@ -237,7 +237,9 @@ def evaluate_manifest(spec: str, manifest_path: str, n_boot: int = 2000,
                       snr_gate_estimator: str = None,
                       streamed: bool = False,
                       unet_seg_hops: int = None,
-                      unet_ctx: int = None):
+                      unet_ctx: int = None,
+                      unet_xfade: int = None,
+                      unet_ctx_left: int = None):
     """Quality on a FROZEN mixture manifest, with mean +/- bootstrap 95%
     CI per metric (VERDICT r2 weak-point 3: every quality claim carries
     n and a CI). Reports overall and per-noise-gain breakdowns.
@@ -266,12 +268,17 @@ def evaluate_manifest(spec: str, manifest_path: str, n_boot: int = 2000,
     from audio_denoising_tpu.config import with_snr_gate
     cfg = with_snr_gate(cfg, snr_gate_db, snr_gate_width_db,
                         snr_gate_estimator)
-    if unet_seg_hops is not None or unet_ctx is not None:
+    if (unet_seg_hops is not None or unet_ctx is not None
+            or unet_xfade is not None or unet_ctx_left is not None):
         srv_over = {}
         if unet_seg_hops is not None:
             srv_over["unet_seg_hops"] = unet_seg_hops
         if unet_ctx is not None:
             srv_over["unet_ctx_samples"] = unet_ctx
+        if unet_xfade is not None:
+            srv_over["unet_xfade_samples"] = unet_xfade
+        if unet_ctx_left is not None:
+            srv_over["unet_ctx_left_samples"] = unet_ctx_left
         cfg = dataclasses.replace(
             cfg, serving=dataclasses.replace(cfg.serving, **srv_over))
     stream_latency = None
@@ -362,6 +369,10 @@ def evaluate_manifest(spec: str, manifest_path: str, n_boot: int = 2000,
         "unet_seg_hops": cfg.serving.unet_seg_hops if streamed else None,
         "unet_ctx_samples": (cfg.serving.unet_ctx_samples
                              if streamed else None),
+        "unet_xfade_samples": (cfg.serving.unet_xfade_samples
+                               if streamed else None),
+        "unet_ctx_left_samples": (cfg.serving.unet_ctx_left_samples
+                                  if streamed else None),
         "manifest": os.path.basename(manifest_path),
         "manifest_version": manifest.get("version"),
         "manifest_hash": digest,
@@ -424,6 +435,12 @@ def main(argv=None) -> int:
     p.add_argument("--unet-ctx", type=int, default=None,
                    help="streamed window context in samples "
                         "(ServingConfig.unet_ctx_samples override)")
+    p.add_argument("--unet-xfade", type=int, default=None,
+                   help="segment-join crossfade in samples "
+                        "(ServingConfig.unet_xfade_samples override)")
+    p.add_argument("--unet-ctx-left", type=int, default=None,
+                   help="PAST window context in samples — latency-"
+                        "free (ServingConfig.unet_ctx_left_samples)")
     args = p.parse_args(argv)
     if args.manifest:
         report = evaluate_manifest(args.model, args.manifest,
@@ -434,7 +451,9 @@ def main(argv=None) -> int:
                                    snr_gate_estimator=args.snr_gate_estimator,
                                    streamed=args.streamed,
                                    unet_seg_hops=args.unet_seg_hops,
-                                   unet_ctx=args.unet_ctx)
+                                   unet_ctx=args.unet_ctx,
+                                   unet_xfade=args.unet_xfade,
+                                   unet_ctx_left=args.unet_ctx_left)
         print(json.dumps(report, indent=2))
         return 0
     if not args.data:

@@ -159,6 +159,26 @@ class ServingConfig:
     # and gives the conv stack real left/right context at segment joins.
     unet_seg_hops: int = 16
     unet_ctx_samples: int = 960
+    # Segment-join crossfade (round 5): the previous cycle's window
+    # already denoised the first `unet_xfade_samples` of the NEXT
+    # segment (they lie in its right-ctx span); blending that estimate
+    # with the new window's over a linear ramp removes the spectral
+    # discontinuity at segment joins. Measured on the v2 manifest
+    # through the streamed chain (docs/BENCHMARKS.md frontier section):
+    # joins are a real LSD cost at every latency budget. Zero added
+    # latency (the tail is already computed); must be <= both ctx and
+    # seg. 0 = hard splice (the round-2..4 behavior).
+    unet_xfade_samples: int = 0
+    # Asymmetric window: PAST context is latency-free — only the right
+    # ctx (lookahead) and the segment length cost latency. None =
+    # symmetric (ctx_left = unet_ctx_samples, the round-2..4 geometry).
+    # Setting this to ~1-2 s of samples lets a bounded-lookahead stream
+    # hand the U-Net windows the LENGTH it was trained on (2-s crops):
+    # the round-5 frontier measurement showed short windows, not segment
+    # joins, carry most of the streamed-LSD cost (docs/BENCHMARKS.md).
+    # Compute per emitted sample grows with window/seg — a throughput
+    # (not latency) tradeoff.
+    unet_ctx_left_samples: Optional[int] = None
     # SNR-gated output blend (round 4, VERDICT r3 #1 serving-side): when
     # set, a per-stream estimator (ops/noisefloor.py) reads the input
     # SNR per frame and the output magnitude blends toward PASSTHROUGH

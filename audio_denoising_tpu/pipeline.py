@@ -201,6 +201,12 @@ class UNetStreamState(NamedTuple):
     """Per-slot state for cadence-locked U-Net segment streaming."""
     ring: jnp.ndarray   # (B, ctx + seg + ctx) input sample history
     out: jnp.ndarray    # (B, seg) pending output segment
+    # Segment-join crossfade carry (ServingConfig.unet_xfade_samples):
+    # the previous window's denoised estimate of the NEXT segment's
+    # first xf samples (they lie in its right-ctx span) — blended with
+    # the new window's estimate over a linear ramp at the join. None
+    # when xfade is 0.
+    tail: Optional[jnp.ndarray] = None        # (B, xf)
     # SNR-gate carry (ops/noisefloor.py), present only when
     # cfg.serving.snr_gate_db is set. Carried ACROSS segment windows —
     # the per-window tracker inside offline_denoise_stateless cannot
@@ -214,22 +220,43 @@ class UNetStreamState(NamedTuple):
     em_rem: Optional[jnp.ndarray] = None      # (B,)
 
 
-def _unet_stream_geometry(cfg: Config) -> Tuple[int, int, int, int]:
+def _unet_stream_geometry(cfg: Config) -> Tuple[int, int, int, int, int]:
+    """(hop, seg_hops, seg, ctx_right, ctx_left). Latency is
+    ``seg + ctx_right``; ctx_left is PAST samples — free lookahead-wise,
+    it only grows the per-window compute (ServingConfig
+    unet_ctx_left_samples, None = symmetric)."""
     hop = cfg.dsp.hop_length
     seg_hops = cfg.serving.unet_seg_hops
-    return hop, seg_hops, seg_hops * hop, cfg.serving.unet_ctx_samples
+    ctx = cfg.serving.unet_ctx_samples
+    ctx_l = getattr(cfg.serving, "unet_ctx_left_samples", None)
+    return (hop, seg_hops, seg_hops * hop, ctx,
+            ctx if ctx_l is None else ctx_l)
+
+
+def _unet_xfade(cfg: Config) -> int:
+    xf = getattr(cfg.serving, "unet_xfade_samples", 0)
+    if xf:
+        _h, _p, seg, ctx, _cl = _unet_stream_geometry(cfg)
+        if xf > min(seg, ctx):
+            raise ValueError(
+                f"unet_xfade_samples={xf} exceeds min(seg={seg}, "
+                f"ctx={ctx}) — the crossfade tail must lie inside the "
+                f"previous window's denoised right context")
+    return xf
 
 
 def unet_stream_init_state(cfg: Config, model, batch: int,
                            dtype=jnp.float32) -> UNetStreamState:
-    hop, _p, seg, ctx = _unet_stream_geometry(cfg)
+    hop, _p, seg, ctx, ctx_l = _unet_stream_geometry(cfg)
     gate = cfg.serving.snr_gate_db is not None
     from audio_denoising_tpu.ops.noisefloor import estimator_planes
     r_, f_ = estimator_planes(cfg.serving.snr_gate_estimator)
     removed, floor = gate and r_, gate and f_
+    xf = _unet_xfade(cfg)
     return UNetStreamState(
-        ring=jnp.zeros((batch, ctx + seg + ctx), dtype),
+        ring=jnp.zeros((batch, ctx_l + seg + ctx), dtype),
         out=jnp.zeros((batch, seg), dtype),
+        tail=jnp.zeros((batch, xf), dtype) if xf else None,
         nf_smooth=(jnp.zeros((batch, cfg.dsp.n_stft), dtype)
                    if floor else None),
         nf_floor=(jnp.zeros((batch, cfg.dsp.n_stft), dtype)
@@ -262,7 +289,7 @@ def make_unet_stream_step(cfg: Config, model):
     heavy branch sits under
     ``lax.cond`` so non-boundary ticks cost only the ring shift.
     """
-    hop, seg_hops, seg, ctx = _unet_stream_geometry(cfg)
+    hop, seg_hops, seg, ctx, ctx_l = _unet_stream_geometry(cfg)
     gate = cfg.serving.snr_gate_db is not None
     est = cfg.serving.snr_gate_estimator
     from audio_denoising_tpu.ops.noisefloor import estimator_planes
@@ -300,15 +327,31 @@ def make_unet_stream_step(cfg: Config, model):
     else:
         cfg_inner = cfg
 
-    def denoise_window(params, ring, g):
+    xf = _unet_xfade(cfg)
+    if xf:
+        # linear join ramp: weight of the NEW window's estimate rises
+        # 0->1 over the crossfade span; the previous window's estimate
+        # (state.tail, computed with symmetric context from its side of
+        # the join) carries the complement
+        xf_ramp = jnp.arange(1, xf + 1, dtype=jnp.float32) / (xf + 1)
+
+    def denoise_window(params, ring, g, tail):
         den = offline_denoise_stateless(cfg_inner, model, params, ring)
-        mid = jax.lax.dynamic_slice_in_dim(den, ctx, seg, axis=1)
+        mid = jax.lax.dynamic_slice_in_dim(den, ctx_l, seg, axis=1)
+        if xf:
+            head = (xf_ramp * mid[:, :xf]
+                    + (1.0 - xf_ramp) * tail)
+            mid = jnp.concatenate([head, mid[:, xf:]], axis=1)
+            # the NEXT segment's first xf samples, as this window sees
+            # them (they lie inside its denoised right ctx)
+            tail = jax.lax.dynamic_slice_in_dim(den, ctx_l + seg, xf,
+                                                axis=1)
         if not gate:
-            return mid, g
+            return mid, g, tail
         # estimate over the EMITTED middle span only — those samples are
         # contiguous and non-overlapping across cycles, so the estimator
         # sees each sample exactly once
-        mid_in = jax.lax.dynamic_slice_in_dim(ring, ctx, seg, axis=1)
+        mid_in = jax.lax.dynamic_slice_in_dim(ring, ctx_l, seg, axis=1)
         alpha = None
         new_g = ()
         if removed:
@@ -337,7 +380,7 @@ def make_unet_stream_step(cfg: Config, model):
                 else jnp.maximum(alpha, alpha_f)
             new_g = new_g + (last.smooth, last.floor, last.total)
         alpha = alpha[:, None]
-        return alpha * mid + (1.0 - alpha) * mid_in, new_g
+        return alpha * mid + (1.0 - alpha) * mid_in, new_g, tail
 
     def step(params, state: UNetStreamState, chunk: jnp.ndarray,
              phase: jnp.ndarray):
@@ -348,14 +391,18 @@ def make_unet_stream_step(cfg: Config, model):
         g = (((state.em_out, state.em_rem) if removed else ())
              + ((state.nf_smooth, state.nf_floor, state.nf_total)
                 if floor else ()))
-        new_out, g = jax.lax.cond(
+        tail = state.tail if xf else jnp.zeros((ring.shape[0], 0),
+                                               ring.dtype)
+        new_out, g, new_tail = jax.lax.cond(
             phase == seg_hops - 1,
-            lambda r: denoise_window(params, r, g),
-            lambda r: (state.out, g),
+            lambda r: denoise_window(params, r, g, tail),
+            lambda r: (state.out, g, tail),
             ring)
         em = g[:2] if removed else (None, None)
         nf = g[2 if removed else 0:] if floor else (None, None, None)
-        return UNetStreamState(ring=ring, out=new_out, nf_smooth=nf[0],
+        return UNetStreamState(ring=ring, out=new_out,
+                               tail=new_tail if xf else None,
+                               nf_smooth=nf[0],
                                nf_floor=nf[1], nf_total=nf[2],
                                em_out=em[0], em_rem=em[1]), out_hop
 
@@ -383,7 +430,7 @@ def offline_denoise_streamed(cfg: Config, model, params,
     squeeze = audio.ndim == 1
     if squeeze:
         audio = audio[None]
-    hop, seg_hops, seg, ctx = _unet_stream_geometry(cfg)
+    hop, seg_hops, seg, ctx, _ctx_l = _unet_stream_geometry(cfg)
     b, length = audio.shape
     delay = seg + ctx
     n_ticks = -(-(length + delay) // hop)          # ceil to whole hops

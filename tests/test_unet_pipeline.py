@@ -79,10 +79,12 @@ class TestOfflineStateless:
 # Cadence-locked streaming (engine mode 'unet')
 # --------------------------------------------------------------------------
 
-def _stream_cfg(cfg, seg_hops=4, ctx=480, max_streams=4):
+def _stream_cfg(cfg, seg_hops=4, ctx=480, max_streams=4, xfade=0,
+                ctx_left=None):
     return dataclasses.replace(
         cfg, serving=dataclasses.replace(
             cfg.serving, unet_seg_hops=seg_hops, unet_ctx_samples=ctx,
+            unet_xfade_samples=xfade, unet_ctx_left_samples=ctx_left,
             max_streams=max_streams))
 
 
@@ -207,9 +209,13 @@ class TestUNetStreaming:
             pytest.skip("unet4 checkpoint absent")
         rep = evaluate_manifest(ckpt, str(mpath),
                                 n_boot=50, streamed=True,
-                                unet_seg_hops=4, unet_ctx=960)
+                                unet_seg_hops=4, unet_ctx=960,
+                                unet_xfade=192, unet_ctx_left=1920)
         assert rep["streamed"] is True
         assert rep["unet_seg_hops"] == 4
+        assert rep["unet_xfade_samples"] == 192
+        assert rep["unet_ctx_left_samples"] == 1920
+        # ctx_left is PAST context — latency-free by construction
         assert rep["stream_latency_ms"] == pytest.approx(
             (4 * 384 + 960) / 48000 * 1e3, rel=1e-3)
         assert np.isfinite(rep["metrics"]["si_sdr_out"]["mean"])
@@ -243,6 +249,157 @@ class TestUNetStreaming:
         b = n_ticks * hop - seg
         np.testing.assert_allclose(out[a:b], audio[a - delay:b - delay],
                                    atol=5e-3)
+
+    def test_xfade_blends_consecutive_windows(self, unet, rng):
+        """With unet_xfade_samples=xf the first xf samples of each
+        emitted segment are the linear ramp blend of the NEW window's
+        estimate and the PREVIOUS window's estimate of the same span
+        (which lies inside its denoised right context) — checked against
+        a hand-rolled offline reconstruction of both windows."""
+        cfg, model, params = unet
+        xf = 192
+        cfg = _stream_cfg(cfg, seg_hops=4, ctx=480, xfade=xf)
+        hop = cfg.dsp.hop_length
+        P = cfg.serving.unet_seg_hops
+        seg, ctx = P * hop, cfg.serving.unet_ctx_samples
+        R = ctx + seg + ctx
+
+        from audio_denoising_tpu.pipeline import offline_denoise_streamed
+        n = 5 * seg
+        audio = 0.1 * rng.standard_normal(n).astype(np.float32)
+        got = np.asarray(offline_denoise_streamed(
+            cfg, model, params, jnp.asarray(audio)))
+
+        # window c closes when the ring holds
+        # audio[c*seg - 2*ctx : (c+1)*seg]; its emitted middle lands at
+        # output coords [c*seg - ctx, (c+1)*seg - ctx) after the delay
+        # removal in offline_denoise_streamed
+        def window(c):
+            w = audio[c * seg - 2 * ctx:(c + 1) * seg]
+            assert w.shape == (R,)
+            return np.asarray(offline_denoise_stateless(
+                cfg, model, params, jnp.asarray(w[None])))[0]
+
+        k = 2
+        prev_tail = window(k - 1)[ctx + seg:ctx + seg + xf]
+        new_head = window(k)[ctx:ctx + xf]
+        ramp = np.arange(1, xf + 1, dtype=np.float32) / (xf + 1)
+        expect_head = ramp * new_head + (1.0 - ramp) * prev_tail
+        o = k * seg - ctx                       # output coord of the join
+        scale = np.abs(expect_head).max()
+        np.testing.assert_allclose(got[o:o + xf], expect_head,
+                                   rtol=0, atol=5e-5 * scale)
+        # past the crossfade span the segment is the plain middle slice
+        body = window(k)[ctx + xf:ctx + seg]
+        np.testing.assert_allclose(got[o + xf:o + seg], body,
+                                   rtol=0, atol=5e-5 * np.abs(body).max())
+
+    def test_xfade_zero_model_identity(self, rng):
+        """Zero residual + crossfade: both windows estimate the same
+        (identity) signal, so the blend is still the exact delayed
+        input — the crossfade must not perturb an already-consistent
+        stream."""
+        from audio_denoising_tpu.pipeline import offline_denoise_streamed
+        cfg = _stream_cfg(PRESETS["unet4-raw480"], seg_hops=4, ctx=960,
+                          xfade=384)
+        seg = cfg.serving.unet_seg_hops * cfg.dsp.hop_length
+        n = 6 * seg
+        t_ax = np.arange(n, dtype=np.float32)
+        audio = (0.2 * np.sin(2 * np.pi * 440 * t_ax / 48000)
+                 + 0.02 * rng.standard_normal(n)).astype(np.float32)
+        out = np.asarray(offline_denoise_streamed(
+            cfg, _ZeroUNet(), None, jnp.asarray(audio)))
+        np.testing.assert_allclose(out[2 * seg:], audio[2 * seg:],
+                                   atol=5e-3)
+
+    def test_ctx_left_asymmetric_window(self, unet, rng):
+        """unet_ctx_left_samples decouples PAST context (latency-free)
+        from the right/lookahead context: the emitted segment equals the
+        offline graph on the asymmetric [ctx_left | seg | ctx] window,
+        and the streaming delay stays seg + ctx (right only)."""
+        cfg, model, params = unet
+        ctx, ctx_l = 480, 1920
+        cfg = _stream_cfg(cfg, seg_hops=4, ctx=ctx, ctx_left=ctx_l)
+        hop = cfg.dsp.hop_length
+        P = cfg.serving.unet_seg_hops
+        seg = P * hop
+
+        from audio_denoising_tpu.pipeline import offline_denoise_streamed
+        n = 6 * seg
+        audio = 0.1 * rng.standard_normal(n).astype(np.float32)
+        got = np.asarray(offline_denoise_streamed(
+            cfg, model, params, jnp.asarray(audio)))
+        assert got.shape == audio.shape
+
+        # window c's ring holds audio[c*seg - ctx_l - ctx : (c+1)*seg];
+        # its middle lands at output [c*seg - ctx, (c+1)*seg - ctx)
+        k = 3                                 # deep enough for full ctx_l
+        w = audio[k * seg - ctx_l - ctx:(k + 1) * seg]
+        assert w.shape == (ctx_l + seg + ctx,)
+        den = np.asarray(offline_denoise_stateless(
+            cfg, model, params, jnp.asarray(w[None])))[0]
+        expect = den[ctx_l:ctx_l + seg]
+        o = k * seg - ctx
+        np.testing.assert_allclose(got[o:o + seg], expect,
+                                   rtol=0, atol=5e-5 * np.abs(expect).max())
+
+    def test_ctx_left_zero_model_delay(self, rng):
+        """Asymmetric context does not change the streaming delay: a zero
+        residual still yields the input delayed by exactly seg + ctx
+        (the engine's algorithmic_latency_samples contract)."""
+        cfg = _stream_cfg(PRESETS["unet4-raw480"], seg_hops=4, ctx=960,
+                          ctx_left=2880)
+        hop = cfg.dsp.hop_length
+        P = cfg.serving.unet_seg_hops
+        seg, ctx = P * hop, cfg.serving.unet_ctx_samples
+
+        eng = StreamEngine(cfg, _ZeroUNet(), None, mode="unet",
+                           max_streams=2)
+        eng.add_stream("a")
+        assert eng.algorithmic_latency_samples == seg + ctx
+        n_ticks = 8 * P
+        t_ax = np.arange(n_ticks * hop, dtype=np.float32)
+        audio = (0.2 * np.sin(2 * np.pi * 440 * t_ax / 48000)
+                 + 0.02 * rng.standard_normal(n_ticks * hop)
+                 ).astype(np.float32)
+        out = np.concatenate(
+            [eng.process({"a": audio[t * hop:(t + 1) * hop]})["a"]
+             for t in range(n_ticks)])
+        delay = seg + ctx
+        a = delay + 3 * seg                   # flush ctx_l warm-up zeros
+        b = n_ticks * hop - seg
+        np.testing.assert_allclose(out[a:b], audio[a - delay:b - delay],
+                                   atol=5e-3)
+
+    def test_xfade_too_large_raises(self):
+        from audio_denoising_tpu.pipeline import unet_stream_init_state
+        cfg = _stream_cfg(PRESETS["unet4-raw480"], seg_hops=4, ctx=480,
+                          xfade=481)
+        with pytest.raises(ValueError, match="unet_xfade_samples"):
+            unet_stream_init_state(cfg, _ZeroUNet(), 1)
+
+    def test_xfade_snapshot_restore(self, rng):
+        """The crossfade tail carry is part of engine state: snapshot
+        mid-cycle and restore reproduces the byte-exact stream."""
+        cfg = _stream_cfg(PRESETS["unet4-raw480"], seg_hops=4, ctx=480,
+                          xfade=192)
+        hop = cfg.dsp.hop_length
+        P = cfg.serving.unet_seg_hops
+        eng = StreamEngine(cfg, _ZeroUNet(), None, mode="unet",
+                           max_streams=2)
+        eng.add_stream("a")
+        chunks = [0.1 * rng.standard_normal(hop).astype(np.float32)
+                  for _ in range(4 * P)]
+        for c in chunks[:P + 2]:
+            eng.process({"a": c})
+        snap = eng.snapshot()
+        tail = [eng.process({"a": c})["a"] for c in chunks[P + 2:]]
+        fresh = StreamEngine(cfg, _ZeroUNet(), None, mode="unet",
+                             max_streams=2)
+        fresh.restore(snap)
+        for i, c in enumerate(chunks[P + 2:]):
+            np.testing.assert_array_equal(fresh.process({"a": c})["a"],
+                                          tail[i])
 
     def test_admission_and_snapshot(self, rng):
         """Slots admit/evict mid-cycle; snapshot/restore (incl. the cycle

@@ -38,7 +38,13 @@ def paired_report(a_path: str, b_path: str, n_boot: int = 5000,
             f"({int(a['sample_rate'])} vs {int(b['sample_rate'])} Hz); "
             f"paired comparison undefined — evaluate both at one rate "
             f"(e.g. a 16 kHz manifest with 16 kHz-basis models)")
-    np.testing.assert_allclose(a["si_sdr_in"], b["si_sdr_in"],
+    # same-mixture guard: different manifest mixtures differ by many dB
+    # of input SI-SDR; the SAME mixtures evaluated on different backends
+    # (real chip vs ADT_FORCE_CPU) differ by ~3e-3 dB of float
+    # reassociation in the mixture synthesis + metric chain. 0.05 dB
+    # separates the two regimes by >3 orders of magnitude.
+    np.testing.assert_allclose(a["si_sdr_in"], b["si_sdr_in"], rtol=0,
+                               atol=0.05,
                                err_msg="inputs differ: not the same "
                                        "manifest mixtures")
     rng = np.random.default_rng(seed)

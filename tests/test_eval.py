@@ -1,6 +1,7 @@
 """Evaluation subsystem tests: metric correctness + the eval harness."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from audio_denoising_tpu.train.eval_metrics import (
@@ -191,6 +192,30 @@ class TestManifestEval:
         for m, r in rep.items():
             assert r["significant"], (m, r)
             assert 0.2 < r["mean_delta"] < 0.4
+
+    def test_paired_report_mixture_guard_tolerance(self, tmp_path):
+        """The same-mixture guard tolerates cross-BACKEND float jitter on
+        si_sdr_in (~3e-3 dB between a chip-run and a CPU-forced eval of
+        the identical manifest) but still rejects genuinely different
+        mixtures (dB-scale input differences)."""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from tools.compare_models import paired_report
+        rng = np.random.default_rng(2)
+        base = rng.normal(0.0, 3.0, 32)
+        mk = lambda v: {m: v for m in
+                        ("si_sdr_improvement", "si_sdr_out",
+                         "snr_out_matched", "lsd_out_matched")}
+        a = tmp_path / "a.npz"
+        b = tmp_path / "b.npz"
+        jitter = rng.normal(0.0, 3e-3, 32)
+        np.savez(a, si_sdr_in=base + jitter, **mk(base))
+        np.savez(b, si_sdr_in=base, **mk(base))
+        paired_report(str(a), str(b))        # must not raise
+        c = tmp_path / "c.npz"
+        np.savez(c, si_sdr_in=base + 1.0, **mk(base))
+        with pytest.raises(AssertionError, match="inputs differ"):
+            paired_report(str(c), str(b))
 
     def test_evaluate_manifest_end_to_end(self, tmp_path):
         """Full manifest evaluation against a real checkpoint preset on

@@ -14,7 +14,7 @@ until [ -f /tmp/r5_stream_frontier3_done ]; do
   [ $waited -ge 3600 ] && break
 done
 
-for k in 4 10; do
+for k in 4 10 24; do
   CK=runs/gruunet2mel128w64-mrstft-la${k}-50k.npz
   [ -f $CK ] || continue
   name=$(basename $CK .npz)

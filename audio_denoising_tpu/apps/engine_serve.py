@@ -43,10 +43,15 @@ class EngineDaemon:
                  pipeline_depth: int = 2, snr_gate_db: float = None,
                  snr_gate_width_db: float = None,
                  snr_gate_estimator: str = None, dtype: str = None,
-                 auto_gate: bool = True):
+                 auto_gate: bool = True, unet_seg_hops: int = None,
+                 unet_ctx: int = None, unet_xfade: int = None,
+                 unet_ctx_left: int = None):
         self.cfg, self.model, self.params = load_pretrained(spec)
         from audio_denoising_tpu.config import (recommended_serving,
-                                                with_snr_gate)
+                                                with_snr_gate,
+                                                with_unet_geometry)
+        self.cfg = with_unet_geometry(self.cfg, unet_seg_hops, unet_ctx,
+                                      unet_xfade, unet_ctx_left)
         if snr_gate_db is not None:
             self.cfg = with_snr_gate(self.cfg, snr_gate_db,
                                      snr_gate_width_db, snr_gate_estimator)
@@ -233,6 +238,17 @@ def main(argv=None) -> int:
                         "fused-kernel weight VMEM at 2x MXU rate; int8 "
                         "serves the W8A8 quantized plan (mode 'fast', "
                         "runtime/quant.py)")
+    p.add_argument("--unet-seg-hops", type=int, default=None,
+                   help="mode 'unet': segment length in hops (latency = "
+                        "seg_hops*hop + ctx samples)")
+    p.add_argument("--unet-ctx", type=int, default=None,
+                   help="mode 'unet': FUTURE window context in samples")
+    p.add_argument("--unet-xfade", type=int, default=None,
+                   help="mode 'unet': segment-join crossfade in samples "
+                        "(latency-free; measured LSD win, BENCHMARKS)")
+    p.add_argument("--unet-ctx-left", type=int, default=None,
+                   help="mode 'unet': PAST window context in samples "
+                        "(latency-free; the round-5 frontier's big lever)")
     p.add_argument("--multichip", action="store_true",
                    help="shard stream slots over all devices (1-D mesh)")
     p.add_argument("--pipeline-depth", type=int, default=2,
@@ -246,5 +262,9 @@ def main(argv=None) -> int:
                  snr_gate_width_db=args.snr_gate_width,
                  snr_gate_estimator=args.snr_gate_estimator,
                  dtype=args.dtype,
-                 auto_gate=not args.no_snr_gate).serve_forever()
+                 auto_gate=not args.no_snr_gate,
+                 unet_seg_hops=args.unet_seg_hops,
+                 unet_ctx=args.unet_ctx,
+                 unet_xfade=args.unet_xfade,
+                 unet_ctx_left=args.unet_ctx_left).serve_forever()
     return 0

@@ -268,19 +268,9 @@ def evaluate_manifest(spec: str, manifest_path: str, n_boot: int = 2000,
     from audio_denoising_tpu.config import with_snr_gate
     cfg = with_snr_gate(cfg, snr_gate_db, snr_gate_width_db,
                         snr_gate_estimator)
-    if (unet_seg_hops is not None or unet_ctx is not None
-            or unet_xfade is not None or unet_ctx_left is not None):
-        srv_over = {}
-        if unet_seg_hops is not None:
-            srv_over["unet_seg_hops"] = unet_seg_hops
-        if unet_ctx is not None:
-            srv_over["unet_ctx_samples"] = unet_ctx
-        if unet_xfade is not None:
-            srv_over["unet_xfade_samples"] = unet_xfade
-        if unet_ctx_left is not None:
-            srv_over["unet_ctx_left_samples"] = unet_ctx_left
-        cfg = dataclasses.replace(
-            cfg, serving=dataclasses.replace(cfg.serving, **srv_over))
+    from audio_denoising_tpu.config import with_unet_geometry
+    cfg = with_unet_geometry(cfg, unet_seg_hops, unet_ctx, unet_xfade,
+                             unet_ctx_left)
     stream_latency = None
     if streamed:
         if not hasattr(model, "compatible_frames"):

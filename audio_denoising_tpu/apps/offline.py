@@ -21,7 +21,8 @@ from audio_denoising_tpu.pipeline import (
 _JIT_CACHE = {}
 
 
-def _jitted_chain(cfg: Config, model, sample_rate: int):
+def _jitted_chain(cfg: Config, model, sample_rate: int,
+                  streamed: bool = False):
     """One jitted graph for the WHOLE chain (mono, resample, peak norm,
     denoise, de-norm): eager dispatch is prohibitive on a remote-attached
     TPU (~30 ms per op round trip), so nothing runs outside jit. Cached per
@@ -29,7 +30,7 @@ def _jitted_chain(cfg: Config, model, sample_rate: int):
     # serving config participates in the chain too (snr gate, gains):
     # keying only on dsp silently reused a stale graph across serving
     # overrides (round-4 bug found by the gate tuning sweep)
-    key = (id(model), cfg.dsp, cfg.serving, sample_rate)
+    key = (id(model), cfg.dsp, cfg.serving, sample_rate, streamed)
     if key not in _JIT_CACHE:
         def chain(params, x):
             # Offline mode is the parity surface (<=1e-3 vs the torch
@@ -44,6 +45,11 @@ def _jitted_chain(cfg: Config, model, sample_rate: int):
                 scale = jnp.where(peak > 1e-8, peak, 1.0)
                 if hasattr(model, "init_state"):      # recurrent family
                     y = offline_denoise(cfg, model, params, x / scale)
+                elif streamed:            # bounded-latency segment chain
+                    from audio_denoising_tpu.pipeline import (
+                        offline_denoise_streamed)
+                    y = offline_denoise_streamed(cfg, model, params,
+                                                 x / scale)
                 else:                                 # stateless U-Nets
                     y = offline_denoise_stateless(cfg, model, params,
                                                   x / scale)
@@ -53,11 +59,15 @@ def _jitted_chain(cfg: Config, model, sample_rate: int):
 
 
 def denoise_array(cfg: Config, model, params, samples: np.ndarray,
-                  sample_rate: int) -> np.ndarray:
+                  sample_rate: int, streamed: bool = False) -> np.ndarray:
     """samples: (C, N) or (N,) float32 at ``sample_rate`` -> denoised mono
-    (N',) float32 at ``cfg.dsp.sample_rate``."""
+    (N',) float32 at ``cfg.dsp.sample_rate``. ``streamed=True`` runs the
+    stateless family through the bounded-latency segment chain
+    (pipeline.offline_denoise_streamed) instead of the whole-clip window —
+    the file-processing twin of engine mode 'unet'."""
     x = jnp.asarray(samples, jnp.float32)
-    return np.asarray(_jitted_chain(cfg, model, sample_rate)(params, x))
+    return np.asarray(
+        _jitted_chain(cfg, model, sample_rate, streamed)(params, x))
 
 
 def denoise_file(spec: str, in_path: str, out_path: str,
@@ -65,7 +75,11 @@ def denoise_file(spec: str, in_path: str, out_path: str,
                  snr_gate_db: Optional[float] = None,
                  snr_gate_width_db: Optional[float] = None,
                  snr_gate_estimator: Optional[str] = None,
-                 auto_gate: bool = True) -> str:
+                 auto_gate: bool = True, streamed: bool = False,
+                 unet_seg_hops: Optional[int] = None,
+                 unet_ctx: Optional[int] = None,
+                 unet_xfade: Optional[int] = None,
+                 unet_ctx_left: Optional[int] = None) -> str:
     """Any decodable container in (wav natively; mp3/webm through the
     system codec libs, matching the reference's decode-anything upload
     path, app.py:171-223) -> denoised WAV out. The gate args apply
@@ -81,12 +95,20 @@ def denoise_file(spec: str, in_path: str, out_path: str,
     elif auto_gate:
         from audio_denoising_tpu.config import recommended_serving
         cfg = recommended_serving(cfg)
+    from audio_denoising_tpu.config import with_unet_geometry
+    cfg = with_unet_geometry(cfg, unet_seg_hops, unet_ctx, unet_xfade,
+                             unet_ctx_left)
+    if streamed and not hasattr(model, "compatible_frames"):
+        raise ValueError(
+            "--streamed runs the cadence-locked U-Net segment chain; "
+            "recurrent checkpoints already process causally (bounded "
+            "lookahead comes from ModelConfig.lookahead_frames)")
     if in_path.lower().endswith(".wav"):
         samples, sr = read_wav(in_path)
     else:
         from audio_denoising_tpu.io.cache import AudioCache
         samples, sr = AudioCache().load(in_path)
-    out = denoise_array(cfg, model, params, samples, sr)
+    out = denoise_array(cfg, model, params, samples, sr, streamed=streamed)
     write_wav(out_path, out[None], cfg.dsp.sample_rate)
     return out_path
 
@@ -112,11 +134,29 @@ def main(argv=None) -> int:
     p.add_argument("--snr-gate-estimator", default=None,
                    choices=("removed", "floor", "both"),
                    help="gate SNR estimator (ops/noisefloor.py)")
+    p.add_argument("--streamed", action="store_true",
+                   help="stateless U-Net checkpoints: denoise through the "
+                        "bounded-latency segment chain (exactly what "
+                        "engine mode 'unet' serves) instead of the "
+                        "whole-file window")
+    p.add_argument("--unet-seg-hops", type=int, default=None,
+                   help="--streamed: segment length in hops")
+    p.add_argument("--unet-ctx", type=int, default=None,
+                   help="--streamed: FUTURE window context in samples")
+    p.add_argument("--unet-xfade", type=int, default=None,
+                   help="--streamed: segment-join crossfade in samples")
+    p.add_argument("--unet-ctx-left", type=int, default=None,
+                   help="--streamed: PAST window context in samples")
     args = p.parse_args(argv)
     path = denoise_file(args.model, args.input, args.output,
                         snr_gate_db=args.snr_gate,
                         snr_gate_width_db=args.snr_gate_width,
                         snr_gate_estimator=args.snr_gate_estimator,
-                        auto_gate=not args.no_snr_gate)
+                        auto_gate=not args.no_snr_gate,
+                        streamed=args.streamed,
+                        unet_seg_hops=args.unet_seg_hops,
+                        unet_ctx=args.unet_ctx,
+                        unet_xfade=args.unet_xfade,
+                        unet_ctx_left=args.unet_ctx_left)
     print(f"wrote {path}")
     return 0

@@ -80,11 +80,16 @@ class WSDaemon:
                  pipeline_depth: int = 2, snr_gate_db: float = None,
                  snr_gate_width_db: float = None,
                  snr_gate_estimator: str = None, dtype: str = None,
-                 auto_gate: bool = True):
+                 auto_gate: bool = True, unet_seg_hops: int = None,
+                 unet_ctx: int = None, unet_xfade: int = None,
+                 unet_ctx_left: int = None):
         self.spec = spec
         self.cfg, self.model, self.params = load_pretrained(spec)
         from audio_denoising_tpu.config import (recommended_serving,
-                                                with_snr_gate)
+                                                with_snr_gate,
+                                                with_unet_geometry)
+        self.cfg = with_unet_geometry(self.cfg, unet_seg_hops, unet_ctx,
+                                      unet_xfade, unet_ctx_left)
         if snr_gate_db is not None:
             self.cfg = with_snr_gate(self.cfg, snr_gate_db,
                                      snr_gate_width_db, snr_gate_estimator)
@@ -255,7 +260,8 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--max-streams", type=int, default=256)
     p.add_argument("--mode",
-                   choices=["fast", "webrtc", "fused", "fused-webrtc"],
+                   choices=["fast", "webrtc", "fused", "fused-webrtc",
+                            "unet"],
                    default="fast")
     p.add_argument("--pipeline-depth", type=int, default=2)
     p.add_argument("--snr-gate", type=float, default=None,
@@ -277,6 +283,17 @@ def main(argv=None) -> int:
                    default=None,
                    help="serving compute dtype override (int8 = W8A8 "
                         "quantized plan, mode 'fast')")
+    p.add_argument("--unet-seg-hops", type=int, default=None,
+                   help="mode 'unet': segment length in hops (latency = "
+                        "seg_hops*hop + ctx samples)")
+    p.add_argument("--unet-ctx", type=int, default=None,
+                   help="mode 'unet': FUTURE window context in samples")
+    p.add_argument("--unet-xfade", type=int, default=None,
+                   help="mode 'unet': segment-join crossfade in samples "
+                        "(latency-free)")
+    p.add_argument("--unet-ctx-left", type=int, default=None,
+                   help="mode 'unet': PAST window context in samples "
+                        "(latency-free)")
     args = p.parse_args(argv)
     WSDaemon(args.model, args.host, args.port, args.max_streams,
              args.mode, pipeline_depth=args.pipeline_depth,
@@ -284,5 +301,9 @@ def main(argv=None) -> int:
              snr_gate_width_db=args.snr_gate_width,
              snr_gate_estimator=args.snr_gate_estimator,
              dtype=args.dtype,
-             auto_gate=not args.no_snr_gate).serve_forever()
+             auto_gate=not args.no_snr_gate,
+             unet_seg_hops=args.unet_seg_hops,
+             unet_ctx=args.unet_ctx,
+             unet_xfade=args.unet_xfade,
+             unet_ctx_left=args.unet_ctx_left).serve_forever()
     return 0

@@ -341,6 +341,36 @@ def with_snr_gate(cfg: Config, gate_db: Optional[float],
                             else cfg.serving.snr_gate_estimator)))
 
 
+def with_unet_geometry(cfg: Config,
+                       seg_hops: Optional[int] = None,
+                       ctx: Optional[int] = None,
+                       xfade: Optional[int] = None,
+                       ctx_left: Optional[int] = None) -> Config:
+    """Config with the segment-family streaming geometry overridden (one
+    helper so `eval --streamed`, the engine daemon, the WS daemon and the
+    offline CLI agree on the knob semantics). All arguments are in the
+    units of their ServingConfig fields (``seg_hops`` in hops, the rest
+    in samples at the model rate); None keeps the checkpoint's value.
+    Algorithmic latency is ``seg_hops * hop + ctx`` samples — ``xfade``
+    (segment-join crossfade) and ``ctx_left`` (PAST window context) are
+    latency-FREE quality levers (round-5 frontier measurement,
+    docs/BENCHMARKS.md). No reference counterpart (the reference never
+    streams these models, unet4.py:147-194)."""
+    over = {}
+    if seg_hops is not None:
+        over["unet_seg_hops"] = seg_hops
+    if ctx is not None:
+        over["unet_ctx_samples"] = ctx
+    if xfade is not None:
+        over["unet_xfade_samples"] = xfade
+    if ctx_left is not None:
+        over["unet_ctx_left_samples"] = ctx_left
+    if not over:
+        return cfg
+    return dataclasses.replace(
+        cfg, serving=dataclasses.replace(cfg.serving, **over))
+
+
 # The causal-streaming (recurrent) family — the architectures the serving
 # SNR gate was tuned on (round-4 grid search, tools/gate_grid.py). The
 # stateless U-Nets/TRUNet see their whole segment and were not measured

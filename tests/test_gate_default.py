@@ -194,9 +194,9 @@ def test_offline_auto_gate(tmp_path, monkeypatch):
     seen = {}
     real = offline.denoise_array
 
-    def spy(cfg, model, params, samples, sr):
+    def spy(cfg, model, params, samples, sr, **kw):
         seen["gate"] = cfg.serving.snr_gate_db
-        return real(cfg, model, params, samples, sr)
+        return real(cfg, model, params, samples, sr, **kw)
 
     monkeypatch.setattr(offline, "denoise_array", spy)
     offline.denoise_file(path, wav_in, str(tmp_path / "out.wav"))

@@ -47,9 +47,9 @@ class EngineDaemon:
                  unet_ctx: int = None, unet_xfade: int = None,
                  unet_ctx_left: int = None):
         self.cfg, self.model, self.params = load_pretrained(spec)
-        from audio_denoising_tpu.config import (recommended_serving,
-                                                with_snr_gate,
-                                                with_unet_geometry)
+        from audio_denoising_tpu.config import (
+            recommended_serving, recommended_streaming_geometry,
+            with_snr_gate, with_unet_geometry)
         self.cfg = with_unet_geometry(self.cfg, unet_seg_hops, unet_ctx,
                                       unet_xfade, unet_ctx_left)
         if snr_gate_db is not None:
@@ -62,6 +62,14 @@ class EngineDaemon:
             # explicitly so GL/unet modes (no gated reconstruction /
             # stateless) never inherit a gate they cannot honor.
             self.cfg = recommended_serving(self.cfg)
+        if (auto_gate and mode == "unet" and unet_seg_hops is None
+                and unet_ctx is None and unet_xfade is None
+                and unet_ctx_left is None):
+            # zero geometry flags: the segment family serves the
+            # measured-best bounded-latency window (84 ms at offline
+            # SI-SDR parity, round-5 frontier); any explicit geometry
+            # flag — or --no-snr-gate, the raw-profile switch — opts out
+            self.cfg = recommended_streaming_geometry(self.cfg)
         if dtype is not None:
             import dataclasses
             self.cfg = dataclasses.replace(self.cfg, serving=dataclasses.replace(
@@ -223,8 +231,9 @@ def main(argv=None) -> int:
                         "the TUNED gate by default "
                         "(config.recommended_serving)")
     p.add_argument("--no-snr-gate", action="store_true",
-                   help="serve the raw model: disable the default "
-                        "recommended-profile gate")
+                   help="serve the raw profile: disable the recommended "
+                        "defaults (tuned gate on causal checkpoints; "
+                        "tuned streaming geometry in mode 'unet')")
     p.add_argument("--snr-gate-width", type=float, default=None,
                    help="gate transition width in dB (tuned default 6)")
     p.add_argument("--snr-gate-estimator", default=None,

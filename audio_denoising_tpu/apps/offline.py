@@ -95,9 +95,17 @@ def denoise_file(spec: str, in_path: str, out_path: str,
     elif auto_gate:
         from audio_denoising_tpu.config import recommended_serving
         cfg = recommended_serving(cfg)
-    from audio_denoising_tpu.config import with_unet_geometry
+    from audio_denoising_tpu.config import (recommended_streaming_geometry,
+                                            with_unet_geometry)
     cfg = with_unet_geometry(cfg, unet_seg_hops, unet_ctx, unet_xfade,
                              unet_ctx_left)
+    if (auto_gate and streamed and unet_seg_hops is None
+            and unet_ctx is None and unet_xfade is None
+            and unet_ctx_left is None):
+        # zero geometry flags: --streamed runs the measured-best
+        # bounded-latency window (84 ms at offline SI-SDR parity,
+        # round-5 frontier); any geometry flag or --no-snr-gate opts out
+        cfg = recommended_streaming_geometry(cfg)
     if streamed and not hasattr(model, "compatible_frames"):
         raise ValueError(
             "--streamed runs the cadence-locked U-Net segment chain; "
@@ -128,8 +136,9 @@ def main(argv=None) -> int:
                         "When absent, eligible causal checkpoints run "
                         "the TUNED gate (config.recommended_serving)")
     p.add_argument("--no-snr-gate", action="store_true",
-                   help="run the raw model: disable the default "
-                        "recommended-profile gate")
+                   help="run the raw profile: disable the recommended "
+                        "defaults (tuned gate on causal checkpoints; "
+                        "tuned --streamed geometry)")
     p.add_argument("--snr-gate-width", type=float, default=None)
     p.add_argument("--snr-gate-estimator", default=None,
                    choices=("removed", "floor", "both"),

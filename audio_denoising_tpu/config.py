@@ -377,6 +377,60 @@ def with_unet_geometry(cfg: Config,
 # to benefit; Griffin-Lim reconstruction has no gated path.
 CAUSAL_ARCHS = frozenset({"GRUUNet", "GRUUNet2", "MOMO", "MOMO2", "MOMO3"})
 
+# The stateless segment family the round-5 streamed-geometry frontier was
+# measured on (TRUNetDenoiser also streams through mode 'unet' but its
+# 16 kHz window behavior was not swept — it keeps the class defaults).
+SEGMENT_ARCHS = frozenset({"UNet2d", "UNet2d3", "UNet2d4", "UNet2d4Wide"})
+
+# Measured-best bounded-latency streaming geometry (round-5 frontier,
+# docs/BENCHMARKS.md): at the 48 kHz / hop-384 basis the tuned point is
+# seg_hops 8 / ctx 960 / ctx_left 44544 / xfade 384 — 84 ms algorithmic
+# latency at SI-SDR parity with the offline window (paired −0.19
+# [−0.80, +0.48] vs offline on manifest v2). Expressed in TIME so the
+# rule scales to any DSP basis: a ~64 ms segment, 20 ms of future
+# context, an 8 ms join crossfade, and PAST context sized so the TOTAL
+# window is ~1 s (the effective-context optimum for the 2-s-crop
+# training recipe; longer windows dilute into padding the model never
+# saw — the ctxl96k regression in the frontier table).
+_STREAM_SEG_S = 3072 / 48000
+_STREAM_CTX_S = 960 / 48000
+_STREAM_XFADE_S = 384 / 48000
+_STREAM_WINDOW_S = 48576 / 48000
+
+
+def recommended_streaming_geometry(cfg: Config) -> Config:
+    """The measured-best bounded-latency window for the stateless
+    segment family (round-5 frontier): 84 ms of algorithmic latency
+    buys SI-SDR parity with the model's full-utterance offline run when
+    the window is sized to what training saw. Applies only when every
+    geometry field still holds its class default (an explicit override
+    — CLI flag or caller-set config — is authoritative) and only to
+    ``SEGMENT_ARCHS``. The serving daemons (engine/ws mode 'unet') and
+    ``denoise --streamed`` use this when no geometry flags are passed;
+    ``eval``/``compare`` stay raw so the frontier table remains
+    reproducible. No reference counterpart (the reference never streams
+    these models, unet4.py:147-194)."""
+    srv = cfg.serving
+    d = ServingConfig()
+    if (cfg.model.arch not in SEGMENT_ARCHS
+            or srv.unet_seg_hops != d.unet_seg_hops
+            or srv.unet_ctx_samples != d.unet_ctx_samples
+            or srv.unet_xfade_samples != d.unet_xfade_samples
+            or srv.unet_ctx_left_samples != d.unet_ctx_left_samples):
+        return cfg
+    sr, hop = cfg.dsp.sample_rate, cfg.dsp.hop_length
+    seg_hops = max(1, round(_STREAM_SEG_S * sr / hop))
+    seg = seg_hops * hop
+    ctx = int(round(_STREAM_CTX_S * sr))
+    xfade = min(int(round(_STREAM_XFADE_S * sr)), ctx, seg)
+    ctx_left = max(0, int(round(_STREAM_WINDOW_S * sr)) - seg - ctx)
+    # whole hops, matching the measured frontier points exactly at the
+    # 48 kHz basis (44544 = 116 x 384)
+    ctx_left = (ctx_left // hop) * hop
+    return dataclasses.replace(cfg, serving=dataclasses.replace(
+        srv, unet_seg_hops=seg_hops, unet_ctx_samples=ctx,
+        unet_xfade_samples=xfade, unet_ctx_left_samples=ctx_left))
+
 
 def recommended_serving(cfg: Config) -> Config:
     """The measured-best deployment profile (round 5, VERDICT r4 #4):

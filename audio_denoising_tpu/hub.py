@@ -100,7 +100,15 @@ def _reresolve_serving(cfg: Config) -> Config:
         cfg.serving, snr_gate_db=d.snr_gate_db,
         snr_gate_width_db=d.snr_gate_width_db,
         snr_gate_estimator=d.snr_gate_estimator,
-        snr_gate_tau_s=d.snr_gate_tau_s))
+        snr_gate_tau_s=d.snr_gate_tau_s,
+        # streamed-segment window geometry is likewise a deployment
+        # property (round-5 frontier tuning) — reset so
+        # recommended_streaming_geometry sees class defaults rather
+        # than whatever era the checkpoint was saved under
+        unet_seg_hops=d.unet_seg_hops,
+        unet_ctx_samples=d.unet_ctx_samples,
+        unet_xfade_samples=d.unet_xfade_samples,
+        unet_ctx_left_samples=d.unet_ctx_left_samples))
 
 
 def _load_npz(path: str, cfg: Optional[Config]):

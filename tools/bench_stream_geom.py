@@ -65,16 +65,24 @@ def main():
     cfg, model, params = load_pretrained("runs/unet4crop2s-mrstft-30k.npz")
 
     geoms = {
-        "s16c960 (symmetric default)": {},
-        "s16c960xf384": {"unet_xfade_samples": 384},
-        "s16c960ctxl41472xf384": {"unet_xfade_samples": 384,
+        "s16c960 (symmetric class default)": {"unet_seg_hops": 16},
+        "s16c960xf384": {"unet_seg_hops": 16, "unet_xfade_samples": 384},
+        "s16c960ctxl41472xf384": {"unet_seg_hops": 16,
+                                  "unet_xfade_samples": 384,
                                   "unet_ctx_left_samples": 41472},
+        # the zero-flag serving default (recommended_streaming_geometry):
+        # 84 ms latency at offline SI-SDR parity; the s8 cadence runs the
+        # wide window TWICE as often as s16, so this is the geometry whose
+        # amortized tick cost must clear the 8 ms hop budget
+        "s8c960ctxl44544xf384 (recommended default)": {
+            "unet_seg_hops": 8, "unet_xfade_samples": 384,
+            "unet_ctx_left_samples": 44544},
     }
     report = {"batch": batch}
     for name, over in geoms.items():
         c = dataclasses.replace(
             cfg, serving=dataclasses.replace(
-                cfg.serving, unet_seg_hops=16, unet_ctx_samples=960,
+                cfg.serving, unet_ctx_samples=960,
                 max_streams=batch, **over))
         report[name] = bench_geometry(c, model, params, batch)
         print(f"{name}: {report[name]}", file=sys.stderr)

@@ -33,8 +33,23 @@ from audio_denoising_tpu.runtime.metrics import ServingMetrics
 
 class SocketDaemon:
     def __init__(self, spec: str = "gruunet2-good",
-                 address=("localhost", 6101), shared_state: bool = False):
+                 address=("localhost", 6101), shared_state: bool = False,
+                 snr_gate_db: float = None, snr_gate_width_db: float = None,
+                 snr_gate_estimator: str = None, auto_gate: bool = True):
         self.cfg, self.model, self.params = load_pretrained(spec)
+        from audio_denoising_tpu.config import (recommended_serving,
+                                                with_snr_gate)
+        if snr_gate_db is not None:
+            self.cfg = with_snr_gate(self.cfg, snr_gate_db,
+                                     snr_gate_width_db, snr_gate_estimator)
+        elif auto_gate:
+            # zero-flag = the measured-best profile, same rule as the
+            # engine/ws/offline surfaces (VERDICT r4 #4). For the default
+            # reference model this is a no-op (output_gain 3 makes it
+            # ineligible), so reference wire parity is untouched; a
+            # framework-trained causal flagship served over this protocol
+            # gets the tuned gate. --no-snr-gate serves the raw model.
+            self.cfg = recommended_serving(self.cfg)
         self.address = address
         self.shared_state = shared_state
         self._step = jax.jit(make_server_step(self.cfg, self.model))
@@ -132,8 +147,22 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=6101)
     p.add_argument("--shared-state", action="store_true",
                    help="legacy: one hx shared across connections")
+    p.add_argument("--snr-gate", type=float, default=None,
+                   help="SNR-gated passthrough blend (dB); absent = "
+                        "eligible causal checkpoints serve the TUNED "
+                        "gate (config.recommended_serving)")
+    p.add_argument("--no-snr-gate", action="store_true",
+                   help="serve the raw model: disable the recommended-"
+                        "profile gate")
+    p.add_argument("--snr-gate-width", type=float, default=None)
+    p.add_argument("--snr-gate-estimator", default=None,
+                   choices=("removed", "floor", "both"))
     args = p.parse_args(argv)
     daemon = SocketDaemon(args.model, (args.host, args.port),
-                          shared_state=args.shared_state)
+                          shared_state=args.shared_state,
+                          snr_gate_db=args.snr_gate,
+                          snr_gate_width_db=args.snr_gate_width,
+                          snr_gate_estimator=args.snr_gate_estimator,
+                          auto_gate=not args.no_snr_gate)
     daemon.serve_forever()
     return 0

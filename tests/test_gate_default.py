@@ -167,6 +167,29 @@ def test_ws_daemon_defaults_to_tuned_gate(tmp_path):
     d.tick.stop()
 
 
+def test_socket_daemon_defaults_to_tuned_gate(tmp_path):
+    """The reference-protocol daemon follows the same zero-flag rule;
+    its default model (gruunet2-good, output_gain 3) stays ineligible,
+    so reference wire parity is untouched."""
+    from audio_denoising_tpu.apps.serve import SocketDaemon
+    path = _save_ckpt(tmp_path, _tiny_cfg())
+    d = SocketDaemon(path)
+    assert d.cfg.serving.snr_gate_db == 1.0
+    assert d.cfg.serving.snr_gate_estimator == "both"
+    d2 = SocketDaemon(path, auto_gate=False)
+    assert d2.cfg.serving.snr_gate_db is None
+    d3 = SocketDaemon(path, snr_gate_db=3.0, snr_gate_estimator="floor")
+    assert d3.cfg.serving.snr_gate_db == 3.0
+    assert d3.cfg.serving.snr_gate_estimator == "floor"
+
+
+def test_socket_daemon_reference_model_stays_raw(tmp_path):
+    from audio_denoising_tpu.apps.serve import SocketDaemon
+    path = _save_ckpt(tmp_path, _tiny_cfg(output_gain=3.0))
+    d = SocketDaemon(path)
+    assert d.cfg.serving.snr_gate_db is None
+
+
 def test_pre_gate_era_checkpoint_serves_tuned_estimator(tmp_path):
     """The full idp25 scenario: a checkpoint whose embedded serving
     config carries estimator 'removed' (the old default) and no gate —

@@ -15,8 +15,14 @@ for i in $(seq 1 180); do
   sleep 60
 done
 if [ ! -f "$CKPT" ]; then
+  # The trainer deletes seg intermediates when the full run consolidates;
+  # copy the fallback to a scratch path so a mid-eval 'rm' can't race us
+  # (ADVICE r4), and prefer the final checkpoint if it appeared meanwhile.
   last=$(ls -t runs/unet4wide-crop2s-mrstft-30k-seg*.npz 2>/dev/null | head -1)
-  [ -n "$last" ] && CKPT=$last
+  if [ -n "$last" ]; then
+    cp "$last" /tmp/unet4wide-fallback.npz 2>/dev/null || true
+    [ -f "$CKPT" ] || CKPT=/tmp/unet4wide-fallback.npz
+  fi
 fi
 [ -f "$CKPT" ] || { echo "no wide checkpoint produced" > /tmp/eval_unet4wide.log; exit 1; }
 

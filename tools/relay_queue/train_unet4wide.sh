@@ -5,6 +5,9 @@
 # under timeout (relay-wedge mitigation, CLAUDE.md); --resume is bit-exact,
 # so a partial run is resumable next round.
 cd /root/repo
+# Stale done flags from a prior run would make eval_unet4wide.sh proceed
+# against an old/partial checkpoint — clear them up front (ADVICE r4).
+rm -f /tmp/train_unet4wide_done /tmp/eval_unet4wide_done
 DATA=/root/reference/data/uncompressed/cats
 NOISE=/root/reference/data/uncompressed/kaggle_audioNoiseDataset
 COMMON="--data $DATA --noise-dir $NOISE --objective recon_mrstft --lr-gamma 0.97 --device-data --log-every 500"
@@ -36,8 +39,16 @@ seg_train () {  # $1 out-prefix  $2 total-iters  $3 seg-iters  $4... extra flags
           >> /tmp/train_${out}.log
         break
       fi
+      # Bounded health wait (ADVICE r4): give up after ~4 h so a dead
+      # relay can't stall everything chained after this queue entry.
+      local waited=0
       until timeout 120 python -c "import jax, jax.numpy as j; (j.ones((8,8))@j.ones((8,8))).block_until_ready()" >/dev/null 2>&1; do
         echo "relay unhealthy; waiting before retry ($(date +%T))" >> /tmp/train_${out}.log
+        waited=$((waited + 180))
+        if [ $waited -ge 14400 ]; then
+          echo "relay down >4h; abandoning $out" >> /tmp/train_${out}.log
+          return 1
+        fi
         sleep 60
       done
     fi

@@ -231,7 +231,7 @@ def main() -> None:
         print(f"wide-flagship variant skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
 
-    # Single-chip stream-capacity sweep (VERDICT r4 #2): 256→4096 streams
+    # Single-chip stream-capacity sweep (VERDICT r4 #2): 256→8192 streams
     # through the resident fused hop; the capacity number is the largest
     # N that still clears p50 < 2 ms/hop (the QoS knee — at these model
     # sizes the chip is dispatch-bound, classic MFU ≈ 0 by construction,
@@ -338,7 +338,7 @@ from audio_denoising_tpu.runtime.plan import build_cell_plan
 SR, HOP_MS, K = {SR}, {HOP_MS}, 25
 hop = int(SR * HOP_MS / 1000)
 rng = np.random.default_rng(2)
-for n in (256, 512, 1024, 2048, 4096):
+for n in (256, 512, 1024, 2048, 4096, 6144, 8192):
     cfg = Config(
         dsp=DSPConfig(sample_rate=SR, n_fft=2 * hop, hop_length=hop,
                       n_mels=64, reconstruction="phase"),
@@ -366,7 +366,7 @@ for n in (256, 512, 1024, 2048, 4096):
 
 
 def _bench_scale(timeout_s: float = 1200.0) -> int:
-    """Sweep 256→4096 concurrent streams through the resident fused hop
+    """Sweep 256→8192 concurrent streams through the resident fused hop
     (one subprocess, hard timeout — same wedge-protection reasoning as
     the flagship secondary). Returns the largest stream count whose p50
     stays under 2 ms/hop; per-size p50 and µs/stream go to stderr. The
